@@ -1,0 +1,119 @@
+"""Flash-attention kernel vs XLA reference, plus concept-stacked projections
+vs a per-row python loop (the reference's semantics in
+fusion_generation/utils_custom.py:61-82 / utils_lora.py:65-79)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tweediemix_tpu.ops.attention import attention, merge_heads, multi_head_attention, split_heads
+from tweediemix_tpu.ops.flash_attention import flash_attention
+from tweediemix_tpu.ops.stacked import lora_delta, stacked_linear
+
+
+def xla_attention(q, k, v, scale):
+    s = jnp.einsum("bid,bjd->bij", q.astype(jnp.float32), k.astype(jnp.float32)) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bij,bjd->bid", p, v.astype(jnp.float32))
+
+
+@pytest.mark.parametrize(
+    "bh,sq,sk,dh",
+    [
+        (2, 256, 256, 64),  # self-attn, block-divisible
+        (3, 512, 512, 128),
+        (2, 300, 300, 64),  # non-divisible q and kv (padding + mask)
+        (2, 256, 77, 64),  # cross-attn with 77-token kv
+        (1, 128, 1024, 64),  # more kv blocks than q blocks
+    ],
+)
+def test_flash_matches_xla(bh, sq, sk, dh):
+    key = jax.random.PRNGKey(0)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (bh, sq, dh), dtype=jnp.float32)
+    k = jax.random.normal(kk, (bh, sk, dh), dtype=jnp.float32)
+    v = jax.random.normal(kv, (bh, sk, dh), dtype=jnp.float32)
+    scale = dh**-0.5
+    want = xla_attention(q, k, v, scale)
+    got = flash_attention(q, k, v, scale=scale, block_q=128, block_k=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-3)
+
+
+def test_flash_bf16():
+    key = jax.random.PRNGKey(1)
+    q = jax.random.normal(key, (2, 256, 64), dtype=jnp.bfloat16)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (2, 256, 64), dtype=jnp.bfloat16)
+    v = jax.random.normal(jax.random.fold_in(key, 2), (2, 256, 64), dtype=jnp.bfloat16)
+    want = xla_attention(q, k, v, 64**-0.5)
+    got = flash_attention(q, k, v, block_q=128, block_k=128, interpret=True)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(got, dtype=np.float32), np.asarray(want), rtol=3e-2, atol=3e-2
+    )
+
+
+def test_attention_dispatcher_fallback_matches():
+    # on CPU the dispatcher must use the XLA path and agree with the reference
+    key = jax.random.PRNGKey(2)
+    q = jax.random.normal(key, (4, 64, 32))
+    k = jax.random.normal(jax.random.fold_in(key, 1), (4, 77, 32))
+    v = jax.random.normal(jax.random.fold_in(key, 2), (4, 77, 32))
+    got = attention(q, k, v)
+    want = xla_attention(q, k, v, 32**-0.5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+def test_head_split_merge_roundtrip():
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 10, 8))
+    y = merge_heads(split_heads(x, 4), 4)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x), rtol=1e-6)
+
+
+def test_multi_head_attention_matches_per_head():
+    key = jax.random.PRNGKey(4)
+    b, s, h, dh = 2, 16, 4, 8
+    q = jax.random.normal(key, (b, s, h * dh))
+    k = jax.random.normal(jax.random.fold_in(key, 1), (b, s, h * dh))
+    v = jax.random.normal(jax.random.fold_in(key, 2), (b, s, h * dh))
+    got = multi_head_attention(q, k, v, h)
+    want = merge_heads(
+        xla_attention(split_heads(q, h), split_heads(k, h), split_heads(v, h), dh**-0.5), h
+    ).astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+def test_stacked_linear_matches_per_row_loop():
+    # semantics of utils_custom.py:61-82 — row i uses concept i's weights
+    key = jax.random.PRNGKey(5)
+    c, b, s, din, dout = 4, 4, 6, 8, 10
+    w = jax.random.normal(key, (c, din, dout))
+    x = jax.random.normal(jax.random.fold_in(key, 1), (b, s, din))
+    idx = jnp.array([0, 1, 2, 3])
+    got = stacked_linear(x, w, idx)
+    for i in range(b):
+        want = x[i] @ w[int(idx[i])]
+        np.testing.assert_allclose(np.asarray(got[i]), np.asarray(want), rtol=1e-4, atol=1e-5)
+
+
+def test_stacked_linear_bias():
+    w = jnp.zeros((2, 3, 4))
+    bst = jnp.stack([jnp.zeros(4), jnp.ones(4)])
+    x = jnp.ones((2, 5, 3))
+    out = stacked_linear(x, w, jnp.array([0, 1]), bst)
+    assert float(out[0].sum()) == 0.0
+    np.testing.assert_allclose(np.asarray(out[1]), 1.0)
+
+
+def test_lora_delta_zero_slot_and_per_row():
+    key = jax.random.PRNGKey(6)
+    c, b, s, din, r, dout = 3, 3, 5, 8, 4, 8
+    down = jax.random.normal(key, (c, din, r)).at[0].set(0.0)
+    up = jax.random.normal(jax.random.fold_in(key, 1), (c, r, dout))
+    x = jax.random.normal(jax.random.fold_in(key, 2), (b, s, din))
+    idx = jnp.array([0, 1, 2])
+    got = lora_delta(x, down, up, idx)
+    np.testing.assert_allclose(np.asarray(got[0]), 0.0, atol=1e-6)  # slot 0 = no delta
+    for i in (1, 2):
+        want = (x[i] @ down[i]) @ up[i]
+        np.testing.assert_allclose(np.asarray(got[i]), np.asarray(want), rtol=1e-4, atol=1e-5)

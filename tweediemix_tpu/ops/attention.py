@@ -1,0 +1,87 @@
+"""Attention dispatch: Pallas flash kernel on TPU, fused XLA path elsewhere.
+
+Replaces both attention backends of the reference — xformers
+``memory_efficient_attention`` and the hand-rolled einsum+softmax in the
+patched forwards (``fusion_generation/utils_custom.py:93-103``) — with one
+primitive. Head split/merge happens here so model code only sees
+``[B, S, D]`` tensors.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+
+from tweediemix_tpu.ops.flash_attention import flash_attention
+
+# Minimum q-sequence length for which the flash kernel beats the XLA path;
+# tiny sequences (e.g. 77-token cross attention K) stay on XLA.
+_FLASH_MIN_SQ = 512
+
+
+def _use_flash(sq: int, dh: int) -> bool:
+    force = os.environ.get("TWEEDIEMIX_ATTENTION", "auto")
+    if force == "flash":
+        return True
+    if force == "xla":
+        return False
+    return (
+        jax.default_backend() == "tpu"
+        and sq >= _FLASH_MIN_SQ
+        and dh in (64, 128, 256)
+    )
+
+
+def attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: float | None = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Scaled dot-product attention over [BH, S, dh] tensors (fp32 softmax)."""
+    dh = q.shape[-1]
+    if scale is None:
+        scale = float(dh) ** -0.5
+    if _use_flash(q.shape[1], dh):
+        return flash_attention(q, k, v, scale=scale, interpret=interpret)
+    s = jnp.einsum("bid,bjd->bij", q, k, preferred_element_type=jnp.float32) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bij,bjd->bid", p.astype(v.dtype), v).astype(q.dtype)
+
+
+def split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    """[B, S, H*dh] → [B*H, S, dh]."""
+    b, s, d = x.shape
+    dh = d // num_heads
+    x = x.reshape(b, s, num_heads, dh)
+    return x.transpose(0, 2, 1, 3).reshape(b * num_heads, s, dh)
+
+
+def merge_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    """[B*H, S, dh] → [B, S, H*dh]."""
+    bh, s, dh = x.shape
+    b = bh // num_heads
+    x = x.reshape(b, num_heads, s, dh).transpose(0, 2, 1, 3)
+    return x.reshape(b, s, num_heads * dh)
+
+
+def multi_head_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    num_heads: int,
+    scale: float | None = None,
+) -> jnp.ndarray:
+    """Multi-head attention over [B, S, D] projections (pre-head-split)."""
+    if scale is None:
+        scale = float(q.shape[-1] // num_heads) ** -0.5
+    out = attention(
+        split_heads(q, num_heads),
+        split_heads(k, num_heads),
+        split_heads(v, num_heads),
+        scale=scale,
+    )
+    return merge_heads(out, num_heads)

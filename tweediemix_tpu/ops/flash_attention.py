@@ -1,0 +1,169 @@
+"""Blockwise flash attention as a Pallas TPU kernel.
+
+This is the TPU-native replacement for the reference's xformers
+``memory_efficient_attention`` (enabled at
+``fusion_generation/fusion_sampling.py:120,133,210`` and inside every
+attention processor). Online-softmax accumulation over KV blocks keeps the
+S×S score matrix out of HBM; scores and accumulators are fp32 while q/k/v
+stay bf16 on the MXU.
+
+Diffusion attention here is non-causal (image tokens attend everywhere;
+cross-attention attends to all 77 text tokens), so there is no causal mask —
+only an optional kv-length mask for shapes padded up to the block size.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _flash_kernel(
+    kv_len_ref,  # SMEM (1,1) int32: true kv length (<= padded Sk)
+    q_ref,  # VMEM [1, block_q, dh]
+    k_ref,  # VMEM [1, block_k, dh]
+    v_ref,  # VMEM [1, block_k, dh]
+    o_ref,  # VMEM [1, block_q, dh]
+    m_scr,  # VMEM [block_q, 128] fp32 running max
+    l_scr,  # VMEM [block_q, 128] fp32 running denom
+    acc_scr,  # VMEM [block_q, dh] fp32 accumulator
+    *,
+    scale: float,
+    block_k: int,
+    needs_mask: bool,
+):
+    kv_idx = pl.program_id(2)
+    num_kv = pl.num_programs(2)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    s = jax.lax.dot_general(
+        q,
+        k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    s = s * scale
+
+    if needs_mask:
+        kv_len = kv_len_ref[0, 0]
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kv_idx * block_k
+        s = jnp.where(col < kv_len, s, NEG_INF)
+
+    m_prev = m_scr[:, :1]
+    m_cur = jnp.max(s, axis=1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(s - m_new)
+    corr = jnp.exp(m_prev - m_new)
+
+    l_new = l_scr[:, :1] * corr + jnp.sum(p, axis=1, keepdims=True)
+    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    pv = jax.lax.dot_general(
+        p.astype(v_ref.dtype),
+        v_ref[0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_scr[:] = acc_scr[:] * corr + pv
+
+    @pl.when(kv_idx == num_kv - 1)
+    def _finish():
+        denom = jnp.maximum(l_scr[:, :1], 1e-30)
+        o_ref[0] = (acc_scr[:] / denom).astype(o_ref.dtype)
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret"))
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: float | None = None,
+    block_q: int = 256,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Non-causal flash attention.
+
+    Args:
+      q: [BH, Sq, dh] (batch*heads folded into the leading dim).
+      k, v: [BH, Sk, dh].
+      scale: softmax scale; defaults to dh**-0.5.
+      block_q, block_k: tile sizes (clamped to padded sequence lengths).
+      interpret: run the kernel in interpreter mode (CPU testing).
+
+    Returns [BH, Sq, dh] with q's dtype.
+    """
+    bh, sq, dh = q.shape
+    sk = k.shape[1]
+    if scale is None:
+        scale = float(dh) ** -0.5
+
+    block_q = min(block_q, _round_up(sq, 128))
+    block_k = min(block_k, _round_up(sk, 128))
+    sq_p = _round_up(sq, block_q)
+    sk_p = _round_up(sk, block_k)
+
+    if sq_p != sq:
+        q = jnp.pad(q, ((0, 0), (0, sq_p - sq), (0, 0)))
+    needs_mask = sk_p != sk
+    if needs_mask:
+        k = jnp.pad(k, ((0, 0), (0, sk_p - sk), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, sk_p - sk), (0, 0)))
+
+    kv_len = jnp.array([[sk]], dtype=jnp.int32)
+
+    grid = (bh, sq_p // block_q, sk_p // block_k)
+    kernel = functools.partial(
+        _flash_kernel, scale=scale, block_k=block_k, needs_mask=needs_mask
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, block_q, dh), lambda b, i, j, *_: (b, i, 0)),
+                pl.BlockSpec((1, block_k, dh), lambda b, i, j, *_: (b, j, 0)),
+                pl.BlockSpec((1, block_k, dh), lambda b, i, j, *_: (b, j, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, block_q, dh), lambda b, i, j, *_: (b, i, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((block_q, 128), jnp.float32),
+                pltpu.VMEM((block_q, 128), jnp.float32),
+                pltpu.VMEM((block_q, dh), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((bh, sq_p, dh), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * sq_p * sk_p * dh,
+            bytes_accessed=(bh * (sq_p + 2 * sk_p + sq_p) * dh) * q.dtype.itemsize,
+            transcendentals=bh * sq_p * sk_p,
+        ),
+    )(kv_len, q, k, v)
+
+    if sq_p != sq:
+        out = out[:, :sq]
+    return out
