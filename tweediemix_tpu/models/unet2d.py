@@ -1,0 +1,452 @@
+"""Flax SDXL UNet2DConditionModel with concept-aware attention.
+
+A from-scratch NHWC implementation of the SDXL denoising UNet (the
+architecture the reference loads from HF at
+``fusion_generation/fusion_sampling.py:119,204``), with two TPU-first
+departures from the reference's runtime module surgery:
+
+* **Custom-Diffusion concepts** (``utils_custom.py:61-82``): cross-attention
+  K/V kernels are *stacked* arrays ``[slots, ctx_dim, inner]`` (slot 0 = the
+  base model); a per-batch-row ``concept_idx`` selects a slot via gather +
+  batched einsum, so the N-concept fused forward is one batched UNet call.
+* **LoRA concepts** (``utils_lora.py:65-79,115-119``): stacked rank-r
+  down/up factor pairs on q/k/v/out of both attn1 and attn2 (slot 0 = zero
+  delta).
+
+Both are config-gated (``concept_slots`` / ``lora_slots``); with both at 0
+the module is a plain SDXL UNet whose param tree maps 1:1 onto the
+diffusers checkpoint layout (see ``models/convert.py``).
+
+Layout: NHWC activations (TPU-native conv layout); channel counts follow the
+diffusers config for stabilityai/stable-diffusion-xl-base-1.0.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from tweediemix_tpu.models.embeddings import TimestepEmbedding, timestep_embedding
+from tweediemix_tpu.ops.attention import multi_head_attention
+from tweediemix_tpu.ops.stacked import lora_delta, stacked_linear
+
+
+@dataclasses.dataclass(frozen=True)
+class UNetConfig:
+    """SDXL-base defaults; shrink for tests via ``tiny()``."""
+
+    sample_size: int = 128
+    in_channels: int = 4
+    out_channels: int = 4
+    block_out_channels: Tuple[int, ...] = (320, 640, 1280)
+    down_block_types: Tuple[str, ...] = (
+        "DownBlock2D",
+        "CrossAttnDownBlock2D",
+        "CrossAttnDownBlock2D",
+    )
+    up_block_types: Tuple[str, ...] = (
+        "CrossAttnUpBlock2D",
+        "CrossAttnUpBlock2D",
+        "UpBlock2D",
+    )
+    layers_per_block: int = 2
+    transformer_layers_per_block: Tuple[int, ...] = (1, 2, 10)
+    num_attention_heads: Tuple[int, ...] = (5, 10, 20)
+    cross_attention_dim: int = 2048
+    norm_num_groups: int = 32
+    addition_time_embed_dim: int = 256
+    # pooled text-embed width fed to the add_embedding MLP (SDXL: 1280)
+    pooled_projection_dim: int = 1280
+    # concept fusion knobs (0 = plain SDXL)
+    concept_slots: int = 0
+    lora_slots: int = 0
+    lora_rank: int = 4
+    # training: stop-gradient through the first context token's K/V
+    # (the Custom-Diffusion detach trick,
+    #  concept_training/diffusers_model_pipeline_xl_new.py:93-97)
+    detach_first_token_kv: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def time_embed_dim(self) -> int:
+        return self.block_out_channels[0] * 4
+
+    @property
+    def projection_class_embeddings_input_dim(self) -> int:
+        return self.pooled_projection_dim + 6 * self.addition_time_embed_dim
+
+    @staticmethod
+    def sdxl(**kw) -> "UNetConfig":
+        return UNetConfig(**kw)
+
+    @staticmethod
+    def micro(**kw) -> "UNetConfig":
+        """Single-level config for fast CPU equivalence tests (shallow, so
+        fp32 batched-vs-sliced rounding differences stay ~1e-6)."""
+        defaults = dict(
+            sample_size=8,
+            block_out_channels=(32,),
+            down_block_types=("CrossAttnDownBlock2D",),
+            up_block_types=("CrossAttnUpBlock2D",),
+            layers_per_block=1,
+            transformer_layers_per_block=(1,),
+            num_attention_heads=(2,),
+            cross_attention_dim=32,
+            norm_num_groups=8,
+            addition_time_embed_dim=8,
+            pooled_projection_dim=32,
+        )
+        defaults.update(kw)
+        return UNetConfig(**defaults)
+
+    @staticmethod
+    def tiny(**kw) -> "UNetConfig":
+        """Small config with SDXL's topology, for CPU tests."""
+        defaults = dict(
+            sample_size=8,
+            block_out_channels=(32, 64),
+            down_block_types=("DownBlock2D", "CrossAttnDownBlock2D"),
+            up_block_types=("CrossAttnUpBlock2D", "UpBlock2D"),
+            layers_per_block=1,
+            transformer_layers_per_block=(1, 2),
+            num_attention_heads=(2, 4),
+            cross_attention_dim=32,
+            norm_num_groups=8,
+            addition_time_embed_dim=8,
+            pooled_projection_dim=32,
+        )
+        defaults.update(kw)
+        return UNetConfig(**defaults)
+
+
+class Attention(nn.Module):
+    """QKV attention with optional concept-stacked K/V and LoRA deltas."""
+
+    query_dim: int
+    heads: int
+    dim_head: int
+    cross_attention_dim: Optional[int] = None  # None → self-attention
+    concept_slots: int = 0
+    lora_slots: int = 0
+    lora_rank: int = 4
+    detach_first_token_kv: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, ctx=None, concept_idx=None):
+        inner = self.heads * self.dim_head
+        is_cross = ctx is not None
+        ctx = ctx if is_cross else x
+        ctx_dim = self.cross_attention_dim if is_cross else self.query_dim
+        b = x.shape[0]
+        if concept_idx is None:
+            concept_idx = jnp.zeros((b,), dtype=jnp.int32)
+
+        def lora(name, inp, din, dout):
+            down = self.param(
+                f"{name}_lora_down",
+                nn.initializers.normal(1.0 / self.lora_rank),
+                (self.lora_slots, din, self.lora_rank),
+                jnp.float32,
+            )
+            up = self.param(
+                f"{name}_lora_up",
+                nn.initializers.zeros,
+                (self.lora_slots, self.lora_rank, dout),
+                jnp.float32,
+            )
+            return lora_delta(inp, down, up, concept_idx)
+
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        if self.concept_slots and is_cross:
+            wk = self.param(
+                "to_k_stack",
+                nn.initializers.lecun_normal(),
+                (self.concept_slots, ctx_dim, inner),
+                jnp.float32,
+            )
+            wv = self.param(
+                "to_v_stack",
+                nn.initializers.lecun_normal(),
+                (self.concept_slots, ctx_dim, inner),
+                jnp.float32,
+            )
+            k = stacked_linear(ctx, wk.astype(self.dtype), concept_idx)
+            v = stacked_linear(ctx, wv.astype(self.dtype), concept_idx)
+        else:
+            k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
+            v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+
+        if self.lora_slots:
+            q = q + lora("to_q", x, self.query_dim, inner)
+            k = k + lora("to_k", ctx, ctx_dim, inner)
+            v = v + lora("to_v", ctx, ctx_dim, inner)
+
+        if self.detach_first_token_kv and is_cross:
+            k = jnp.concatenate([jax.lax.stop_gradient(k[:, :1]), k[:, 1:]], axis=1)
+            v = jnp.concatenate([jax.lax.stop_gradient(v[:, :1]), v[:, 1:]], axis=1)
+
+        out = multi_head_attention(q, k, v, self.heads)
+        proj = nn.Dense(self.query_dim, dtype=self.dtype, name="to_out_0")(out)
+        if self.lora_slots:
+            # LoRA out-delta reads the pre-projection hidden (utils_lora.py:115-119)
+            proj = proj + lora("to_out", out, inner, self.query_dim)
+        return proj
+
+
+class FeedForward(nn.Module):
+    """GEGLU MLP (diffusers ``FeedForward`` with geglu activation)."""
+
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        hidden = self.dim * 4
+        x = nn.Dense(hidden * 2, dtype=self.dtype, name="net_0_proj")(x)
+        x, gate = jnp.split(x, 2, axis=-1)
+        x = x * nn.gelu(gate, approximate=False)
+        return nn.Dense(self.dim, dtype=self.dtype, name="net_2")(x)
+
+
+class BasicTransformerBlock(nn.Module):
+    dim: int
+    heads: int
+    dim_head: int
+    cross_attention_dim: int
+    concept_slots: int = 0
+    lora_slots: int = 0
+    lora_rank: int = 4
+    detach_first_token_kv: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, ctx, concept_idx):
+        attn_kw = dict(
+            query_dim=self.dim,
+            heads=self.heads,
+            dim_head=self.dim_head,
+            lora_slots=self.lora_slots,
+            lora_rank=self.lora_rank,
+            dtype=self.dtype,
+        )
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+        x = x + Attention(name="attn1", **attn_kw)(h, None, concept_idx)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
+        x = x + Attention(
+            name="attn2",
+            cross_attention_dim=self.cross_attention_dim,
+            concept_slots=self.concept_slots,
+            detach_first_token_kv=self.detach_first_token_kv,
+            **attn_kw,
+        )(h, ctx, concept_idx)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x)
+        return x + FeedForward(self.dim, dtype=self.dtype, name="ff")(h)
+
+
+class Transformer2DModel(nn.Module):
+    """Spatial transformer with linear projections (SDXL uses
+    ``use_linear_projection=True``)."""
+
+    heads: int
+    dim_head: int
+    num_layers: int
+    cross_attention_dim: int
+    norm_num_groups: int
+    concept_slots: int = 0
+    lora_slots: int = 0
+    lora_rank: int = 4
+    detach_first_token_kv: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, ctx, concept_idx):
+        b, h, w, c = x.shape
+        inner = self.heads * self.dim_head
+        residual = x
+        x = nn.GroupNorm(
+            num_groups=self.norm_num_groups, epsilon=1e-6, dtype=self.dtype, name="norm"
+        )(x)
+        x = x.reshape(b, h * w, c)
+        x = nn.Dense(inner, dtype=self.dtype, name="proj_in")(x)
+        for i in range(self.num_layers):
+            x = BasicTransformerBlock(
+                dim=inner,
+                heads=self.heads,
+                dim_head=self.dim_head,
+                cross_attention_dim=self.cross_attention_dim,
+                concept_slots=self.concept_slots,
+                lora_slots=self.lora_slots,
+                lora_rank=self.lora_rank,
+                detach_first_token_kv=self.detach_first_token_kv,
+                dtype=self.dtype,
+                name=f"transformer_blocks_{i}",
+            )(x, ctx, concept_idx)
+        x = nn.Dense(c, dtype=self.dtype, name="proj_out")(x)
+        return x.reshape(b, h, w, c) + residual
+
+
+class ResnetBlock2D(nn.Module):
+    out_channels: int
+    norm_num_groups: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb):
+        in_channels = x.shape[-1]
+        h = nn.GroupNorm(
+            num_groups=self.norm_num_groups, epsilon=1e-5, dtype=self.dtype, name="norm1"
+        )(x)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv1")(h)
+        t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(nn.silu(temb))
+        h = h + t[:, None, None, :]
+        h = nn.GroupNorm(
+            num_groups=self.norm_num_groups, epsilon=1e-5, dtype=self.dtype, name="norm2"
+        )(h)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv2")(h)
+        if in_channels != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut")(x)
+        return x + h
+
+
+class Downsample2D(nn.Module):
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(
+            self.out_channels,
+            (3, 3),
+            strides=(2, 2),
+            padding=((1, 1), (1, 1)),
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+
+
+class Upsample2D(nn.Module):
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        return nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv")(x)
+
+
+class UNet2DConditionModel(nn.Module):
+    """SDXL denoising UNet.
+
+    Call: ``(sample [B,H,W,4], timestep [] or [B], encoder_hidden_states
+    [B,S,ctx], pooled [B,pooled_dim], time_ids [B,6], concept_idx [B])``
+    → eps prediction [B,H,W,4].
+    """
+
+    config: UNetConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        sample: jnp.ndarray,
+        timestep: jnp.ndarray,
+        encoder_hidden_states: jnp.ndarray,
+        pooled_projections: jnp.ndarray,
+        time_ids: jnp.ndarray,
+        concept_idx: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        cfg = self.config
+        b = sample.shape[0]
+        if concept_idx is None:
+            concept_idx = jnp.zeros((b,), dtype=jnp.int32)
+        timestep = jnp.broadcast_to(jnp.asarray(timestep), (b,))
+
+        # --- time + added (size/pooled) conditioning ---
+        t_emb = timestep_embedding(timestep, cfg.block_out_channels[0])
+        temb = TimestepEmbedding(cfg.time_embed_dim, dtype=cfg.dtype, name="time_embedding")(
+            t_emb.astype(cfg.dtype)
+        )
+        ids_emb = timestep_embedding(time_ids.reshape(-1), cfg.addition_time_embed_dim)
+        ids_emb = ids_emb.reshape(b, 6 * cfg.addition_time_embed_dim)
+        add_emb = jnp.concatenate([pooled_projections, ids_emb.astype(pooled_projections.dtype)], axis=-1)
+        temb = temb + TimestepEmbedding(cfg.time_embed_dim, dtype=cfg.dtype, name="add_embedding")(
+            add_emb.astype(cfg.dtype)
+        )
+
+        ctx = encoder_hidden_states.astype(cfg.dtype)
+        sample = sample.astype(cfg.dtype)
+
+        def transformer(level: int, name: str):
+            return Transformer2DModel(
+                heads=cfg.num_attention_heads[level],
+                dim_head=cfg.block_out_channels[level] // cfg.num_attention_heads[level],
+                num_layers=cfg.transformer_layers_per_block[level],
+                cross_attention_dim=cfg.cross_attention_dim,
+                norm_num_groups=cfg.norm_num_groups,
+                concept_slots=cfg.concept_slots,
+                lora_slots=cfg.lora_slots,
+                lora_rank=cfg.lora_rank,
+                detach_first_token_kv=cfg.detach_first_token_kv,
+                dtype=cfg.dtype,
+                name=name,
+            )
+
+        x = nn.Conv(
+            cfg.block_out_channels[0], (3, 3), padding=((1, 1), (1, 1)), dtype=cfg.dtype, name="conv_in"
+        )(sample)
+
+        # --- down ---
+        res_stack = [x]
+        n_levels = len(cfg.block_out_channels)
+        for level, block_type in enumerate(cfg.down_block_types):
+            out_ch = cfg.block_out_channels[level]
+            has_attn = block_type == "CrossAttnDownBlock2D"
+            for j in range(cfg.layers_per_block):
+                x = ResnetBlock2D(
+                    out_ch, cfg.norm_num_groups, dtype=cfg.dtype,
+                    name=f"down_blocks_{level}_resnets_{j}",
+                )(x, temb)
+                if has_attn:
+                    x = transformer(level, f"down_blocks_{level}_attentions_{j}")(
+                        x, ctx, concept_idx
+                    )
+                res_stack.append(x)
+            if level < n_levels - 1:
+                x = Downsample2D(out_ch, dtype=cfg.dtype, name=f"down_blocks_{level}_downsamplers_0")(x)
+                res_stack.append(x)
+
+        # --- mid ---
+        mid_ch = cfg.block_out_channels[-1]
+        x = ResnetBlock2D(mid_ch, cfg.norm_num_groups, dtype=cfg.dtype, name="mid_block_resnets_0")(x, temb)
+        x = transformer(n_levels - 1, "mid_block_attentions_0")(x, ctx, concept_idx)
+        x = ResnetBlock2D(mid_ch, cfg.norm_num_groups, dtype=cfg.dtype, name="mid_block_resnets_1")(x, temb)
+
+        # --- up ---
+        rev_channels = list(reversed(cfg.block_out_channels))
+        for i, block_type in enumerate(cfg.up_block_types):
+            level = n_levels - 1 - i  # config tuples are indexed by down-level
+            out_ch = rev_channels[i]
+            has_attn = block_type == "CrossAttnUpBlock2D"
+            for j in range(cfg.layers_per_block + 1):
+                res = res_stack.pop()
+                x = jnp.concatenate([x, res], axis=-1)
+                x = ResnetBlock2D(
+                    out_ch, cfg.norm_num_groups, dtype=cfg.dtype,
+                    name=f"up_blocks_{i}_resnets_{j}",
+                )(x, temb)
+                if has_attn:
+                    x = transformer(level, f"up_blocks_{i}_attentions_{j}")(x, ctx, concept_idx)
+            if i < n_levels - 1:
+                x = Upsample2D(out_ch, dtype=cfg.dtype, name=f"up_blocks_{i}_upsamplers_0")(x)
+
+        x = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-5, dtype=cfg.dtype, name="conv_norm_out")(x)
+        x = nn.silu(x)
+        x = nn.Conv(cfg.out_channels, (3, 3), padding=((1, 1), (1, 1)), dtype=cfg.dtype, name="conv_out")(x)
+        return x.astype(jnp.float32)
