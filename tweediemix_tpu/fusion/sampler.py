@@ -1,0 +1,296 @@
+"""Multi-concept Tweedie fusion sampling as jitted scans.
+
+This is the TPU-native rebuild of the reference's hot loop
+(``fusion_generation/fusion_sampling.py:309-530`` and the LoRA variant's
+``t_stop`` window, ``fusion_sampling_lora.py:324,378,476-490``):
+
+* Phase A (joint): batch-2 [uncond, multi-concept] CFG steps, with a
+  step-0 prologue that runs the batch-(N+1) forward and the *resampling*
+  loop (composed Tweedie ``(N-1)·x0_multi − Σ x0_single``, re-noise to
+  next_t with uncond eps, one joint forward there, Tweedie back up —
+  ``fusion_sampling.py:388-415``).
+* Boundary (t == t_cond_prev): *jumping* steps (joint forwards marching
+  ``t −= 150`` for a clean Tweedie preview, ``:431-447``), preview decode,
+  segmentation, region-mask build. The reference shells out to a second GPU
+  and round-trips JPGs (``:456-469``); here the boundary is a host callback
+  seam between two jitted scans and masks stay on device.
+* Phase B (fused): batch-(N+1) [uncond, concept_1..N] forwards where
+  ``concept_idx`` selects stacked K/V (or LoRA) weights per row; per-concept
+  CFG; fused Tweedie ``x0 = Σ mask_cc ⊙ x0_cc`` (``:378-385``); re-noise
+  with the unconditional eps (``:430``). The final step returns the Tweedie
+  itself (``:471-472``).
+
+Everything is static-shape: phase boundaries are step *indices* computed at
+trace time, so each scan compiles once per config.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from tweediemix_tpu.fusion.masks import build_region_masks
+from tweediemix_tpu.schedulers.ddim import DDIMTable, cfg as cfg_combine
+
+
+@dataclasses.dataclass(frozen=True)
+class FusionConfig:
+    """Sampling hyperparameters (flag parity: ``fusion_sampling.py:533-589``)."""
+
+    n_timesteps: int = 50
+    guidance_scale: float = 0.8
+    t_cond: float = 0.2
+    t_stop: float = 1.0  # fusion-window end fraction; 1.0 = fuse to the end (CD)
+    resampling_steps: int = 10
+    jumping_steps: int = 5
+    jump_stride: int = 150
+    height: int = 1024
+    width: int = 1024
+    num_concepts: int = 3  # N, including the background concept (last)
+
+    @property
+    def latent_hw(self):
+        return self.height // 8, self.width // 8
+
+    @property
+    def t_cond_idx(self) -> int:
+        return int(self.n_timesteps * self.t_cond)
+
+    @property
+    def fused_end_idx(self) -> int:
+        """Last fused step index (inclusive)."""
+        return min(int(self.n_timesteps * self.t_stop), self.n_timesteps - 1)
+
+
+class TextEmbeds(NamedTuple):
+    """Precomputed prompt embeddings, row layouts fixed per phase.
+
+    joint:   [2, S, D] = [uncond, multi-concept prompt]
+    single:  [N-1, S, D] = per-concept single prompts (no background)
+    concept: [N+1, S, D] = [uncond, concept_1 .. concept_N]
+    (each with matching pooled [., P])
+    """
+
+    joint_ctx: jnp.ndarray
+    joint_pooled: jnp.ndarray
+    single_ctx: jnp.ndarray
+    single_pooled: jnp.ndarray
+    concept_ctx: jnp.ndarray
+    concept_pooled: jnp.ndarray
+
+
+# unet_fn: (x [B,h,w,4] fp32, t int32, ctx [B,S,D], pooled [B,P], concept_idx
+# int32 [B]) -> eps [B,h,w,4] fp32
+UNetFn = Callable[..., jnp.ndarray]
+
+
+class FusionSampler:
+    def __init__(
+        self,
+        table: DDIMTable,
+        config: FusionConfig,
+        unet_fn: UNetFn,
+        decode_preview_fn: Optional[Callable] = None,
+        segment_fn: Optional[Callable] = None,
+    ):
+        assert table.n_steps == config.n_timesteps
+        assert 1 <= config.t_cond_idx < config.n_timesteps
+        self.table = table
+        self.config = config
+        self.unet_fn = unet_fn
+        self.decode_preview_fn = decode_preview_fn
+        self.segment_fn = segment_fn
+
+    # -- helpers -----------------------------------------------------------
+
+    def _joint_eps(self, embeds: TextEmbeds, x, t):
+        xin = jnp.concatenate([x, x], axis=0)
+        eps = self.unet_fn(
+            xin, t, embeds.joint_ctx, embeds.joint_pooled,
+            jnp.zeros((2,), jnp.int32),
+        )
+        return eps[0:1], eps[1:2]
+
+    def _prologue_eps(self, embeds: TextEmbeds, x, t):
+        n = self.config.num_concepts
+        ctx = jnp.concatenate([embeds.joint_ctx, embeds.single_ctx], axis=0)
+        pooled = jnp.concatenate([embeds.joint_pooled, embeds.single_pooled], axis=0)
+        xin = jnp.concatenate([x] * (n + 1), axis=0)
+        return self.unet_fn(xin, t, ctx, pooled, jnp.zeros((n + 1,), jnp.int32))
+
+    # -- phases ------------------------------------------------------------
+
+    def prologue(self, embeds: TextEmbeds, x):
+        """Step 0: batch-(N+1) forward + resampling (fusion_sampling.py:347-423)."""
+        cfg = self.config
+        tbl = self.table
+        g = cfg.guidance_scale
+        n = cfg.num_concepts
+        t = tbl.timesteps[0]
+        at, at_next = tbl.alpha(t), tbl.alpha(t - tbl.skip)
+
+        eps = self._prologue_eps(embeds, x, t)
+
+        def resample(carry, _):
+            x, eps = carry
+            eps_u = eps[0:1]
+            eps_m = cfg_combine(eps_u, eps[1:2], g)
+            x0 = (n - 1) * tbl.tweedie(x, eps_m, at)
+            for cc in range(n - 1):
+                eps_s = cfg_combine(eps_u, eps[2 + cc : 3 + cc], g)
+                x0 = x0 - tbl.tweedie(x, eps_s, at)
+            x_next = tbl.renoise(x0, eps_u, at_next)
+            eu2, ec2 = self._joint_eps(embeds, x_next, t - tbl.skip)
+            eps_next = cfg_combine(eu2, ec2, g)
+            x0_next = tbl.tweedie(x_next, eps_next, at_next)
+            x_back = tbl.renoise(x0_next, eu2, at)  # back up to t with uncond eps
+            eps_new = self._prologue_eps(embeds, x_back, t)
+            return (x_back, eps_new), None
+
+        if cfg.resampling_steps > 0:
+            (x, eps), _ = jax.lax.scan(resample, (x, eps), None, length=cfg.resampling_steps)
+
+        eps_u = eps[0:1]
+        eps_j = cfg_combine(eps_u, eps[1:2], g)
+        x0 = tbl.tweedie(x, eps_j, at)
+        return tbl.renoise(x0, eps_u, at_next), x0
+
+    def joint_scan(self, embeds: TextEmbeds, x, start: int, stop: int):
+        """Joint CFG steps for indices [start, stop); returns (x, last x0).
+
+        The final trajectory step (index n_timesteps-1, t==1) returns the
+        Tweedie instead of re-noising (fusion_sampling.py:471-472).
+        """
+        cfg = self.config
+        tbl = self.table
+        if stop <= start:
+            return x, None
+        ts = tbl.timesteps[start:stop]
+        is_final = jnp.arange(start, stop) == (cfg.n_timesteps - 1)
+
+        def step(x, inp):
+            t, final = inp
+            eps_u, eps_c = self._joint_eps(embeds, x, t)
+            eps = cfg_combine(eps_u, eps_c, cfg.guidance_scale)
+            x0 = tbl.tweedie(x, eps, tbl.alpha(t))
+            x_next = tbl.renoise(x0, eps_u, tbl.alpha(t - tbl.skip))
+            x_next = jnp.where(final, x0, x_next)
+            return x_next, x0
+
+        x, x0s = jax.lax.scan(step, x, (ts, is_final))
+        return x, x0s[-1]
+
+    def jumping(self, embeds: TextEmbeds, x):
+        """Jumping Tweedie preview (fusion_sampling.py:431-447): from the
+        latent after the boundary step, march joint forwards with
+        t -= jump_stride; return the final Tweedie x0."""
+        cfg = self.config
+        tbl = self.table
+        t0 = tbl.timesteps[cfg.t_cond_idx]
+
+        def body(carry, j):
+            x, _ = carry
+            tt = t0 - j * cfg.jump_stride
+            eps_u, eps_c = self._joint_eps(embeds, x, tt)
+            eps = cfg_combine(eps_u, eps_c, cfg.guidance_scale)
+            x0 = tbl.tweedie(x, eps, tbl.alpha(tt))
+            x_next = tbl.renoise(x0, eps_u, tbl.alpha(tt - cfg.jump_stride))
+            return (x_next, x0), None
+
+        (x, x0), _ = jax.lax.scan(
+            body, (x, jnp.zeros_like(x)), jnp.arange(cfg.jumping_steps)
+        )
+        return x0
+
+    def fused_scan(self, embeds: TextEmbeds, x, masks, start: int, stop: int):
+        """Masked Tweedie fusion steps for indices [start, stop)
+        (fusion_sampling.py:324-340,378-385).
+
+        masks: [N, h, w] region masks (foregrounds..., background last).
+        """
+        cfg = self.config
+        tbl = self.table
+        n = cfg.num_concepts
+        if stop <= start:
+            return x
+        ts = tbl.timesteps[start:stop]
+        is_final = jnp.arange(start, stop) == (cfg.n_timesteps - 1)
+        concept_idx = jnp.arange(n + 1, dtype=jnp.int32)  # row 0 = base/uncond
+        m = masks[..., None]  # [N, h, w, 1] for NHWC broadcasting
+
+        def step(x, inp):
+            t, final = inp
+            xin = jnp.concatenate([x] * (n + 1), axis=0)
+            eps = self.unet_fn(xin, t, embeds.concept_ctx, embeds.concept_pooled, concept_idx)
+            eps_u = eps[0:1]
+            at = tbl.alpha(t)
+            eps_cc = cfg_combine(eps_u, eps[1:], cfg.guidance_scale)  # [N, ...]
+            x0_cc = tbl.tweedie(x, eps_cc, at)  # broadcasts [1,...] with [N,...]
+            x0 = jnp.sum(m * x0_cc, axis=0, keepdims=True)
+            x_next = tbl.renoise(x0, eps_u, tbl.alpha(t - tbl.skip))
+            x_next = jnp.where(final, x0, x_next)
+            return x_next, None
+
+        x, _ = jax.lax.scan(step, x, (ts, is_final))
+        return x
+
+    # -- end to end ---------------------------------------------------------
+
+    def init_latent(self, key):
+        h, w = self.config.latent_hw
+        return (
+            jax.random.normal(key, (1, h, w, 4), jnp.float32)
+            * self.table.init_noise_sigma
+        )
+
+    def run(self, embeds: TextEmbeds, key, fg_masks: Optional[jnp.ndarray] = None):
+        """Full trajectory. ``fg_masks`` (image-res [N-1, H, W]) may be
+        supplied to skip the in-loop segmentation (the reference's
+        precomputed-mask path via mask JPGs, fusion_sampling.py:461-466).
+
+        Returns the final latent x0 (pre-VAE-decode, still scaled).
+        """
+        cfg = self.config
+        x = self.init_latent(key)
+        x, x0 = jax.jit(self.prologue)(embeds, x)
+        x, x0_last = jax.jit(
+            self.joint_scan, static_argnames=("start", "stop")
+        )(embeds, x, start=1, stop=cfg.t_cond_idx)
+        if x0_last is None:
+            x0_last = x0
+
+        if cfg.jumping_steps > 0:
+            preview_x0 = jax.jit(self.jumping)(embeds, x)
+        else:
+            preview_x0 = x0_last
+
+        masks = self.compute_masks(preview_x0, fg_masks)
+
+        x = jax.jit(self.fused_scan, static_argnames=("start", "stop"))(
+            embeds, x, masks, start=cfg.t_cond_idx, stop=cfg.fused_end_idx + 1
+        )
+        if cfg.fused_end_idx + 1 < cfg.n_timesteps:
+            # LoRA t_stop tail: back to joint CFG (fusion_sampling_lora.py:324)
+            x, _ = jax.jit(self.joint_scan, static_argnames=("start", "stop"))(
+                embeds, x, start=cfg.fused_end_idx + 1, stop=cfg.n_timesteps
+            )
+        return x
+
+    def compute_masks(self, preview_x0, fg_masks: Optional[jnp.ndarray]):
+        """Region masks [N, h, w]: from supplied fg masks, or by decoding the
+        preview and running the segmentation stage (fusion_sampling.py:453-469)."""
+        cfg = self.config
+        h, w = cfg.latent_hw
+        if fg_masks is None:
+            if self.decode_preview_fn is None or self.segment_fn is None:
+                raise ValueError(
+                    "no fg_masks supplied and no decode/segment fns configured"
+                )
+            preview_img = self.decode_preview_fn(preview_x0)
+            fg_masks = self.segment_fn(preview_img)
+        fg_masks = jnp.asarray(fg_masks)
+        assert fg_masks.shape[0] == cfg.num_concepts - 1, fg_masks.shape
+        return build_region_masks(fg_masks, h, w)
