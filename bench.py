@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""Headline benchmark: 2-concept (cat+dog+background, N=3) 1024x1024 SDXL
+fusion sample, 50 DDIM steps with the reference's default flags
+(resampling 10, jumping 5 — sample_catdog.sh:33-36), full sampling loop
+plus final fp32 VAE decode, measured steady-state on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": seconds_per_image, "unit": "s",
+   "vs_baseline": 4.0 / value}
+vs_baseline is relative to the BASELINE.json north-star target of <4 s on a
+v5e-8 (8 chips); this bench runs on a single chip, so vs_baseline >= 1.0
+means beating the full-pod target on one chip.
+
+Weights are random/zeros (real SDXL weights are not downloadable in this
+environment); FLOPs, memory traffic, and the trajectory structure are
+identical to a real run. Masks use the precomputed-mask path (the
+segmentation model benches separately once ported).
+
+On a non-TPU backend this auto-shrinks to the micro config so CI can still
+execute it; the recorded metric is only meaningful on TPU.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+from tweediemix_tpu.fusion.sampler import FusionConfig, FusionSampler, TextEmbeds
+from tweediemix_tpu.models.unet2d import UNet2DConditionModel, UNetConfig
+from tweediemix_tpu.models.vae import (
+    AutoencoderKL,
+    VAEConfig,
+    postprocess_image,
+    unscale_latents,
+)
+
+
+def zeros_params(model, *example_args, dtype=None):
+    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), *example_args)["params"]
+    return jax.tree.map(lambda s: jnp.zeros(s.shape, dtype or s.dtype), shapes)
+
+
+def main():
+    on_tpu = jax.default_backend() == "tpu"
+    n_concepts = 3  # cat + dog + background (sample_catdog.sh:19)
+
+    if on_tpu:
+        ucfg = UNetConfig.sdxl(dtype=jnp.bfloat16, concept_slots=n_concepts + 1)
+        vcfg = VAEConfig.sdxl()
+        fcfg = FusionConfig(
+            n_timesteps=50, guidance_scale=0.8, t_cond=0.2,
+            resampling_steps=10, jumping_steps=5,
+            height=1024, width=1024, num_concepts=n_concepts,
+        )
+        ctx_len, ctx_dim, pool_dim = 77, 2048, 1280
+    else:
+        ucfg = UNetConfig.micro(concept_slots=n_concepts + 1)
+        vcfg = VAEConfig.tiny()
+        fcfg = FusionConfig(
+            n_timesteps=10, guidance_scale=0.8, t_cond=0.2,
+            resampling_steps=2, jumping_steps=2,
+            height=128, width=128, num_concepts=n_concepts,
+        )
+        ctx_len, ctx_dim, pool_dim = 16, ucfg.cross_attention_dim, ucfg.pooled_projection_dim
+
+    from tweediemix_tpu.schedulers.ddim import DDIMTable
+
+    table = DDIMTable.create(n_steps=fcfg.n_timesteps)
+    unet = UNet2DConditionModel(ucfg)
+    vae = AutoencoderKL(vcfg)
+    key = jax.random.PRNGKey(0)
+    h, w = fcfg.latent_hw
+
+    sample2 = jnp.zeros((2, h, w, 4), jnp.float32)
+    ctx2 = jnp.zeros((2, ctx_len, ctx_dim), jnp.float32)
+    pooled2 = jnp.zeros((2, pool_dim), jnp.float32)
+    tids2 = jnp.zeros((2, 6), jnp.float32)
+    uparams = zeros_params(unet, sample2, jnp.int32(1), ctx2, pooled2, tids2,
+                           jnp.zeros((2,), jnp.int32),
+                           dtype=jnp.bfloat16 if on_tpu else None)
+    # conv params are spatial-size independent; init with a small image
+    vparams = zeros_params(vae, jnp.zeros((1, 32, 32, 3)), jax.random.PRNGKey(1))
+
+    time_ids = jnp.array([[fcfg.height, fcfg.width, 0, 0, fcfg.height, fcfg.width]], jnp.float32)
+
+    def unet_fn(params, x, t, ctx, pooled, idx):
+        b = x.shape[0]
+        return unet.apply(
+            {"params": params}, x, t, ctx, pooled, jnp.tile(time_ids, (b, 1)), idx
+        )
+
+    def rows(k, n):
+        return (
+            0.1 * jax.random.normal(k, (n, ctx_len, ctx_dim), jnp.float32),
+            0.1 * jax.random.normal(jax.random.fold_in(k, 9), (n, pool_dim), jnp.float32),
+        )
+
+    jc, jp = rows(jax.random.fold_in(key, 1), 2)
+    sc, sp = rows(jax.random.fold_in(key, 2), n_concepts - 1)
+    cc, cp = rows(jax.random.fold_in(key, 3), n_concepts + 1)
+    embeds = TextEmbeds(jc, jp, sc, sp, cc, cp)
+
+    # precomputed region masks (cat left / dog right)
+    fg = (
+        jnp.zeros((n_concepts - 1, fcfg.height, fcfg.width))
+        .at[0, :, : fcfg.width // 2].set(1.0)
+        .at[1, :, fcfg.width // 2 :].set(1.0)
+    )
+
+    sampler = FusionSampler(table, fcfg, unet_fn, unet_params=uparams)
+
+    decode = jax.jit(
+        lambda vp, x: postprocess_image(
+            vae.apply({"params": vp}, unscale_latents(x, vcfg), method=vae.decode)
+        )
+    )
+
+    def one_image(seed):
+        x = sampler.run(embeds, jax.random.PRNGKey(seed), fg_masks=fg)
+        return decode(vparams, x)
+
+    one_image(0)[0].block_until_ready()  # compile + warm
+    t0 = time.perf_counter()
+    img = one_image(1)
+    img.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    metric = (
+        "2concept_sdxl_1024_50step_s_per_image"
+        if on_tpu
+        else "2concept_micro_cpu_s_per_image"
+    )
+    print(json.dumps({
+        "metric": metric,
+        "value": round(dt, 3),
+        "unit": "s",
+        "vs_baseline": round(4.0 / dt, 3),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -35,8 +35,9 @@ def make_embeds(key):
     return TextEmbeds(jc, jp, sc, sp, cc, cp)
 
 
-def mock_unet(x, t, ctx, pooled, concept_idx):
-    """Deterministic, row- and concept-dependent eps (pure jnp)."""
+def mock_unet(params, x, t, ctx, pooled, concept_idx):
+    """Deterministic, row- and concept-dependent eps (pure jnp; ignores
+    params — the real unet_fn threads its pytree through here)."""
     tag = pooled[:, 0][:, None, None, None]
     idx = concept_idx.astype(jnp.float32)[:, None, None, None]
     tf = jnp.asarray(t, jnp.float32) / 1000.0
@@ -74,7 +75,7 @@ def reference_trajectory(table: DDIMTable, cfg: FusionConfig, embeds: TextEmbeds
         return jnp.sqrt(at) * x0 + jnp.sqrt(1 - at) * eps
 
     def unet(x_rows, t, ctx, pooled, idx):
-        return mock_unet(x_rows, jnp.int32(t), ctx, pooled, idx)
+        return mock_unet(None, x_rows, jnp.int32(t), ctx, pooled, idx)
 
     t_cond_idx = cfg.t_cond_idx
     t_stop_idx = cfg.fused_end_idx
@@ -176,15 +177,15 @@ def test_sampler_matches_reference_mirror(kwargs):
 
     # re-run our sampler from the identical init latent
     x = x_init
-    x, x0 = jax.jit(sampler.prologue)(embeds, x)
-    x, x0_last = sampler.joint_scan(embeds, x, 1, cfg.t_cond_idx)
+    x, x0 = jax.jit(sampler.prologue)(None, embeds, x)
+    x, x0_last = sampler.joint_scan(None, embeds, x, 1, cfg.t_cond_idx)
     if x0_last is None:
         x0_last = x0
-    preview = sampler.jumping(embeds, x) if cfg.jumping_steps > 0 else x0_last
+    preview = sampler.jumping(None, embeds, x) if cfg.jumping_steps > 0 else x0_last
     masks = sampler.compute_masks(preview, None)
-    x = sampler.fused_scan(embeds, x, masks, cfg.t_cond_idx, cfg.fused_end_idx + 1)
+    x = sampler.fused_scan(None, embeds, x, masks, cfg.t_cond_idx, cfg.fused_end_idx + 1)
     if cfg.fused_end_idx + 1 < cfg.n_timesteps:
-        x, _ = sampler.joint_scan(embeds, x, cfg.fused_end_idx + 1, cfg.n_timesteps)
+        x, _ = sampler.joint_scan(None, embeds, x, cfg.fused_end_idx + 1, cfg.n_timesteps)
 
     np.testing.assert_allclose(np.asarray(x), np.asarray(want), rtol=2e-4, atol=2e-5)
 

@@ -1,0 +1,223 @@
+"""Multi-concept fusion sampling CLI.
+
+Flag-compatible with the reference entry point
+(``fusion_generation/fusion_sampling.py:533-589`` /
+``fusion_sampling_lora.py``, as driven by ``sample_catdog.sh:33-36``):
+``+``-separated prompt/concept/modifier/checkpoint lists, background concept
+last. One binary covers both Custom-Diffusion and LoRA checkpoints via
+``--mode`` (the reference splits them into two scripts); ``--t_stop``
+activates the LoRA fusion window.
+
+Model weights come from ``--model_dir`` (a local HF-layout SDXL checkpoint;
+this environment has no network) or ``--model_preset tiny`` (random-init
+small models for smoke runs). Segmentation uses the in-process segmentation
+stage when available, or ``--mask_dir`` with per-concept mask images
+(mirroring the reference's mask-JPG handoff, fusion_sampling.py:461-466).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--seed", type=int, default=182)
+    p.add_argument("--output_path", type=str, default="./out")
+    p.add_argument("--output_path_all", type=str, default=None)
+    p.add_argument("--negative_prompt", type=str,
+                   default="blurry, ugly, black, low res, unrealistic, blurry face")
+    p.add_argument("--sd_version", type=str, default="xl", choices=["xl"],
+                   help="model family (the TPU rebuild targets SDXL)")
+    p.add_argument("--t_cond", type=float, default=0.4)
+    p.add_argument("--t_stop", type=float, default=1.0)
+    p.add_argument("--guidance_scale", type=float, default=9.0)
+    p.add_argument("--n_timesteps", type=int, default=50)
+    p.add_argument("--prompt", type=str, default="")
+    p.add_argument("--prompt_orig", type=str, default="")
+    p.add_argument("--seg_concepts", type=str, default="")
+    p.add_argument("--personal_checkpoint", type=str, default="")
+    p.add_argument("--concepts", type=str, required=True)
+    p.add_argument("--modifier_token", type=str, required=True)
+    p.add_argument("--resampling_steps", type=int, default=10)
+    p.add_argument("--jumping_steps", type=int, default=5)
+    p.add_argument("--crops_coords_top_left_h", type=int, default=0)
+    p.add_argument("--crops_coords_top_left_w", type=int, default=0)
+    p.add_argument("--resolution_h", type=int, default=1024)
+    p.add_argument("--resolution_w", type=int, default=1024)
+    # TPU-rebuild additions
+    p.add_argument("--mode", type=str, default="cd", choices=["cd", "lora"])
+    p.add_argument("--model_dir", type=str, default=None,
+                   help="local SDXL checkpoint dir (HF layout)")
+    p.add_argument("--model_preset", type=str, default=None, choices=[None, "tiny"],
+                   help="random-init preset for smoke runs (no weights needed)")
+    p.add_argument("--mask_dir", type=str, default=None,
+                   help="directory with precomputed '<seg_concept>.jpg' masks")
+    p.add_argument("--num_seeds", type=int, default=1,
+                   help="sample this many seeds (seed..seed+n-1) in one batch")
+    return p
+
+
+def _load_tiny_stack(opt, n_concepts):
+    """Random-init tiny models for smoke runs."""
+    import jax
+    import jax.numpy as jnp
+
+    from tweediemix_tpu.models.clip import CLIPTextConfig, DualTextEncoder
+    from tweediemix_tpu.models.unet2d import UNet2DConditionModel, UNetConfig
+    from tweediemix_tpu.models.vae import AutoencoderKL, VAEConfig
+    from tweediemix_tpu.utils.tokenizer import HashTokenizer
+
+    key = jax.random.PRNGKey(0)
+    c1 = CLIPTextConfig.tiny()
+    c2 = CLIPTextConfig.tiny(projection_dim=32)
+    text = DualTextEncoder.random_init(c1, c2, key)
+    tok1, tok2 = HashTokenizer(1000), HashTokenizer(1000)
+
+    ucfg = UNetConfig.micro(
+        cross_attention_dim=c1.hidden_size + c2.hidden_size,
+        pooled_projection_dim=32,
+    )
+    unet = UNet2DConditionModel(ucfg)
+    h = opt.resolution_h // 8
+    w = opt.resolution_w // 8
+    sample = jnp.zeros((2, h, w, 4))
+    ctx = jnp.zeros((2, 77, ucfg.cross_attention_dim))
+    pooled = jnp.zeros((2, ucfg.pooled_projection_dim))
+    tids = jnp.zeros((2, 6))
+    uparams = jax.jit(unet.init)(key, sample, jnp.int32(1), ctx, pooled, tids)["params"]
+
+    vcfg = VAEConfig.tiny()
+    vae = AutoencoderKL(vcfg)
+    vparams = jax.jit(vae.init)(key, jnp.zeros((1, 16, 16, 3)), jax.random.PRNGKey(1))["params"]
+    return ucfg, uparams, vae, vparams, text, tok1, tok2
+
+
+def _load_model_dir(opt):
+    """Load SDXL weights + tokenizers from a local HF-layout directory."""
+    import jax.numpy as jnp
+
+    from tweediemix_tpu.models.clip import CLIPTextConfig, DualTextEncoder
+    from tweediemix_tpu.models.convert import (
+        load_clip_params,
+        load_unet_params,
+        load_vae_params,
+    )
+    from tweediemix_tpu.models.unet2d import UNetConfig
+    from tweediemix_tpu.models.vae import AutoencoderKL, VAEConfig
+    from tweediemix_tpu.utils.tokenizer import CLIPBPETokenizer
+
+    d = opt.model_dir
+    ucfg = UNetConfig.sdxl(dtype=jnp.bfloat16)
+    uparams = load_unet_params(os.path.join(d, "unet"))
+    vcfg = VAEConfig.sdxl()
+    vae = AutoencoderKL(vcfg)
+    vparams = load_vae_params(os.path.join(d, "vae"))
+    c1 = CLIPTextConfig.sdxl_text_encoder(dtype=jnp.bfloat16)
+    c2 = CLIPTextConfig.sdxl_text_encoder_2(dtype=jnp.bfloat16)
+    p1 = load_clip_params(os.path.join(d, "text_encoder"))
+    p2 = load_clip_params(os.path.join(d, "text_encoder_2"))
+    text = DualTextEncoder(c1, c2, p1, p2)
+    tok1 = CLIPBPETokenizer.from_dir(os.path.join(d, "tokenizer"))
+    tok2 = CLIPBPETokenizer.from_dir(os.path.join(d, "tokenizer_2"))
+    return ucfg, uparams, vae, vparams, text, tok1, tok2
+
+
+def load_fg_masks_from_dir(mask_dir, seg_concepts, h, w):
+    import numpy as np
+    from PIL import Image
+
+    masks = []
+    for name in seg_concepts.split("+"):
+        img = Image.open(os.path.join(mask_dir, name + ".jpg")).convert("L").resize((w, h))
+        masks.append(np.asarray(img, np.float32) / 255.0)
+    return np.stack(masks)
+
+
+def main(argv=None) -> int:
+    opt = build_parser().parse_args(argv)
+    out_all = opt.output_path_all or opt.output_path
+    os.makedirs(opt.output_path, exist_ok=True)
+    os.makedirs(out_all, exist_ok=True)
+
+    from tweediemix_tpu.concepts.delta import load_reference_delta
+    from tweediemix_tpu.fusion.pipeline import TweedieMixPipeline, save_image
+    from tweediemix_tpu.fusion.sampler import FusionConfig
+
+    concepts = opt.concepts.split("+")
+    n = len(concepts)
+
+    if opt.model_preset == "tiny" or opt.model_dir is None:
+        stack = _load_tiny_stack(opt, n)
+    else:
+        stack = _load_model_dir(opt)
+    ucfg, uparams, vae, vparams, text, tok1, tok2 = stack
+
+    checkpoints = []
+    if opt.personal_checkpoint:
+        for path in opt.personal_checkpoint.split("+"):
+            checkpoints.append(load_reference_delta(path))
+    else:
+        checkpoints = [
+            {"unet": {}, "modifier_token": {}, "modifier_token_2": {}} for _ in range(n)
+        ]
+
+    fcfg = FusionConfig(
+        n_timesteps=opt.n_timesteps,
+        guidance_scale=opt.guidance_scale,
+        t_cond=opt.t_cond,
+        t_stop=opt.t_stop if opt.mode == "lora" else 1.0,
+        resampling_steps=opt.resampling_steps,
+        jumping_steps=opt.jumping_steps,
+        height=opt.resolution_h,
+        width=opt.resolution_w,
+        num_concepts=n,
+    )
+
+    segment_fn = None
+    if opt.mask_dir is None and opt.seg_concepts:
+        try:
+            from tweediemix_tpu.segmentation import make_segment_fn
+
+            segment_fn = make_segment_fn(opt.seg_concepts, opt.output_path)
+        except Exception as e:  # segmentation model not available
+            print(f"segmentation unavailable ({e}); supply --mask_dir", file=sys.stderr)
+
+    pipe = TweedieMixPipeline.from_concept_checkpoints(
+        base_unet_params=uparams,
+        checkpoints=checkpoints,
+        modifier_tokens=opt.modifier_token.split("+"),
+        unet_cfg=ucfg,
+        vae=vae,
+        vae_params=vparams,
+        text=text,
+        tokenizer_1=tok1,
+        tokenizer_2=tok2,
+        fusion_config=fcfg,
+        mode=opt.mode,
+        segment_fn=segment_fn,
+    )
+
+    embeds = pipe.prepare_text_embeds(
+        opt.prompt, opt.prompt_orig, opt.concepts, opt.modifier_token,
+        negative_prompt=opt.negative_prompt,
+    )
+
+    fg_masks = None
+    if opt.mask_dir is not None:
+        fg_masks = load_fg_masks_from_dir(
+            opt.mask_dir, opt.seg_concepts, opt.resolution_h, opt.resolution_w
+        )
+
+    for seed in range(opt.seed, opt.seed + opt.num_seeds):
+        img = pipe.sample(embeds, seed=seed, fg_masks=fg_masks)
+        path = os.path.join(out_all, f"{opt.prompt_orig}_{seed}.png")
+        save_image(img, path)
+        print(f"saved {path}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

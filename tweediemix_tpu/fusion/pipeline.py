@@ -1,0 +1,230 @@
+"""End-to-end multi-concept fusion pipeline: prompts → embeddings → sampler
+→ VAE decode.
+
+Mirrors the reference's prompt contract (``fusion_generation/
+fusion_sampling.py:139-196`` and ``sample_catdog.sh``):
+
+* ``prompt``: ``+``-separated per-concept prompts, background LAST;
+* ``prompt_orig``: the joint multi-concept prompt;
+* ``concepts`` / ``modifier_token``: ``+``-separated, same order; each
+  concept prompt gets its modifier token inserted immediately before the
+  concept word (``fusion_sampling.py:151-154``);
+* single-concept prompts for the resampling prologue are the RAW per-concept
+  prompts of the foreground concepts (``:149``, without modifier tokens);
+* per-concept checkpoints supply modifier-token embeddings for both text
+  encoders and Custom-Diffusion K/V (or LoRA) deltas.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tweediemix_tpu.concepts.delta import (
+    cd_delta_from_reference,
+    lora_delta_from_reference,
+    stack_cd_params,
+    stack_lora_params,
+)
+from tweediemix_tpu.fusion.sampler import FusionConfig, FusionSampler, TextEmbeds
+from tweediemix_tpu.models.clip import DualTextEncoder
+from tweediemix_tpu.models.unet2d import UNet2DConditionModel, UNetConfig
+from tweediemix_tpu.models.vae import (
+    AutoencoderKL,
+    VAEConfig,
+    postprocess_image,
+    unscale_latents,
+)
+from tweediemix_tpu.schedulers.ddim import DDIMTable
+
+
+def insert_modifier(prompt: str, concept: str, modifier: str) -> str:
+    """``"photo of a cat running"`` + cat/<cat1> → ``"photo of a <cat1> cat
+    running"`` (fusion_sampling.py:151-154)."""
+    idx = prompt.find(concept)
+    if idx < 0:
+        return f"{modifier} {prompt}"
+    return prompt[:idx] + modifier + " " + prompt[idx:]
+
+
+@dataclasses.dataclass
+class TweedieMixPipeline:
+    unet: UNet2DConditionModel
+    unet_params: dict
+    vae: AutoencoderKL
+    vae_params: dict
+    text: DualTextEncoder
+    tokenizer_1: object
+    tokenizer_2: object
+    fusion_config: FusionConfig
+    table: DDIMTable
+    segment_fn: Optional[object] = None
+
+    # -- construction ---------------------------------------------------------
+
+    @classmethod
+    def from_concept_checkpoints(
+        cls,
+        base_unet_params: dict,
+        checkpoints: Sequence[dict],
+        modifier_tokens: Sequence[str],
+        unet_cfg: UNetConfig,
+        vae,
+        vae_params,
+        text: DualTextEncoder,
+        tokenizer_1,
+        tokenizer_2,
+        fusion_config: FusionConfig,
+        mode: str = "cd",
+        segment_fn=None,
+    ) -> "TweedieMixPipeline":
+        """Wire N loaded reference delta dicts (concepts/delta.py
+        ``load_reference_delta``) into stacked UNet params and modifier
+        token embeddings (fusion_sampling.py:156-210)."""
+        n = len(checkpoints)
+        # modifier tokens → both tokenizers + embedding rows
+        ids1, ids2, rows1, rows2 = [], [], [], []
+        for tok, st in zip(modifier_tokens, checkpoints):
+            if not st.get("modifier_token"):
+                continue
+            tokenizer_1.add_tokens(tok)
+            tokenizer_2.add_tokens(tok)
+            ids1.append(tokenizer_1.convert_tokens_to_ids(tok))
+            ids2.append(tokenizer_2.convert_tokens_to_ids(tok))
+            # checkpoint stores {orig_token_name: embedding}; take the values
+            rows1.append(next(iter(st["modifier_token"].values())))
+            rows2.append(next(iter(st["modifier_token_2"].values())))
+        if ids1:
+            text.add_modifier_tokens(ids1, rows1, ids2, rows2)
+
+        if mode == "cd":
+            kvs = [cd_delta_from_reference(st) for st in checkpoints]
+            params = stack_cd_params(base_unet_params, kvs)
+            ucfg = dataclasses.replace(unet_cfg, concept_slots=n + 1)
+        elif mode == "lora":
+            loras = [lora_delta_from_reference(st) for st in checkpoints]
+            params = stack_lora_params(base_unet_params, loras, rank=unet_cfg.lora_rank)
+            ucfg = dataclasses.replace(unet_cfg, lora_slots=n + 1)
+        else:
+            raise ValueError(mode)
+
+        table = DDIMTable.create(n_steps=fusion_config.n_timesteps)
+        return cls(
+            unet=UNet2DConditionModel(ucfg),
+            unet_params=params,
+            vae=vae,
+            vae_params=vae_params,
+            text=text,
+            tokenizer_1=tokenizer_1,
+            tokenizer_2=tokenizer_2,
+            fusion_config=fusion_config,
+            table=table,
+            segment_fn=segment_fn,
+        )
+
+    # -- text ------------------------------------------------------------------
+
+    def encode_prompts(self, prompts: List[str]):
+        ids1 = jnp.asarray(self.tokenizer_1(prompts), jnp.int32)
+        ids2 = jnp.asarray(self.tokenizer_2(prompts), jnp.int32)
+        return self.text.encode_ids(ids1, ids2)
+
+    def prepare_text_embeds(
+        self,
+        prompt: str,
+        prompt_orig: str,
+        concepts: str,
+        modifier_token: str,
+        negative_prompt: str = "",
+    ) -> TextEmbeds:
+        """+‑separated contract of the sample scripts (sample_catdog.sh:9-22)."""
+        prompt_sep = prompt.split("+")
+        concept_list = concepts.split("+")
+        modifiers = modifier_token.split("+")
+        n = len(concept_list)
+        if len(prompt_sep) != n or len(modifiers) != n:
+            raise ValueError(
+                f"--prompt ({len(prompt_sep)} rows), --concepts ({n}) and "
+                f"--modifier_token ({len(modifiers)}) must all have the same "
+                "number of '+'-separated entries (background last)"
+            )
+        assert n == self.fusion_config.num_concepts, (n, self.fusion_config.num_concepts)
+
+        multi = prompt_orig.split("+")[0]
+        per_concept = [
+            insert_modifier(prompt_sep[i], concept_list[i], modifiers[i]) for i in range(n)
+        ]
+        singles = prompt_sep[: n - 1]
+
+        uncond_ctx, uncond_pooled = self.encode_prompts([negative_prompt])
+        multi_ctx, multi_pooled = self.encode_prompts([multi])
+        single_ctx, single_pooled = self.encode_prompts(singles)
+        concept_ctx, concept_pooled = self.encode_prompts(per_concept)
+
+        return TextEmbeds(
+            joint_ctx=jnp.concatenate([uncond_ctx, multi_ctx], 0),
+            joint_pooled=jnp.concatenate([uncond_pooled, multi_pooled], 0),
+            single_ctx=single_ctx,
+            single_pooled=single_pooled,
+            concept_ctx=jnp.concatenate([uncond_ctx, concept_ctx], 0),
+            concept_pooled=jnp.concatenate([uncond_pooled, concept_pooled], 0),
+        )
+
+    # -- sampling ----------------------------------------------------------------
+
+    def _unet_fn(self):
+        cfg = self.fusion_config
+        time_ids = jnp.array(
+            [[cfg.height, cfg.width, 0, 0, cfg.height, cfg.width]], jnp.float32
+        )
+        model = self.unet
+
+        def unet_fn(params, x, t, ctx, pooled, idx):
+            b = x.shape[0]
+            return model.apply(
+                {"params": params}, x, t, ctx, pooled, jnp.tile(time_ids, (b, 1)), idx
+            )
+
+        return unet_fn
+
+    def decode_preview(self, x0):
+        vcfg = self.vae.config
+        z = unscale_latents(x0.astype(jnp.float32), vcfg, preview=True)
+        img = self.vae.apply({"params": self.vae_params}, z, method=self.vae.decode)
+        return postprocess_image(img)
+
+    def decode_final(self, x):
+        vcfg = self.vae.config
+        z = unscale_latents(x.astype(jnp.float32), vcfg)
+        img = self.vae.apply({"params": self.vae_params}, z, method=self.vae.decode)
+        return postprocess_image(img)
+
+    def sample(
+        self,
+        embeds: TextEmbeds,
+        seed: int = 0,
+        fg_masks=None,
+    ):
+        """Run the fusion trajectory and decode. Returns [1,H,W,3] in [0,1]."""
+        sampler = FusionSampler(
+            self.table,
+            self.fusion_config,
+            self._unet_fn(),
+            unet_params=self.unet_params,
+            decode_preview_fn=self.decode_preview,
+            segment_fn=self.segment_fn,
+        )
+        x = sampler.run(embeds, jax.random.PRNGKey(seed), fg_masks=fg_masks)
+        return self.decode_final(x)
+
+
+def save_image(img, path: str):
+    """[1,H,W,3] float [0,1] → PNG."""
+    from PIL import Image
+
+    arr = np.asarray(img[0] * 255.0, dtype=np.uint8)
+    Image.fromarray(arr).save(path)

@@ -82,8 +82,11 @@ class TextEmbeds(NamedTuple):
     concept_pooled: jnp.ndarray
 
 
-# unet_fn: (x [B,h,w,4] fp32, t int32, ctx [B,S,D], pooled [B,P], concept_idx
-# int32 [B]) -> eps [B,h,w,4] fp32
+# unet_fn: (params, x [B,h,w,4] fp32, t int32, ctx [B,S,D], pooled [B,P],
+# concept_idx int32 [B]) -> eps [B,h,w,4] fp32. ``params`` is threaded
+# explicitly through every jitted phase — closing over a 2.5B-param pytree
+# would bake it into each compiled graph as constants (one full copy per
+# phase graph).
 UNetFn = Callable[..., jnp.ndarray]
 
 
@@ -93,6 +96,7 @@ class FusionSampler:
         table: DDIMTable,
         config: FusionConfig,
         unet_fn: UNetFn,
+        unet_params=None,
         decode_preview_fn: Optional[Callable] = None,
         segment_fn: Optional[Callable] = None,
     ):
@@ -101,29 +105,35 @@ class FusionSampler:
         self.table = table
         self.config = config
         self.unet_fn = unet_fn
+        self.unet_params = unet_params
         self.decode_preview_fn = decode_preview_fn
         self.segment_fn = segment_fn
+        # jit once; re-wrapping per call would defeat the compile cache
+        self._jit_prologue = jax.jit(self.prologue)
+        self._jit_joint = jax.jit(self.joint_scan, static_argnames=("start", "stop"))
+        self._jit_jumping = jax.jit(self.jumping)
+        self._jit_fused = jax.jit(self.fused_scan, static_argnames=("start", "stop"))
 
     # -- helpers -----------------------------------------------------------
 
-    def _joint_eps(self, embeds: TextEmbeds, x, t):
+    def _joint_eps(self, params, embeds: TextEmbeds, x, t):
         xin = jnp.concatenate([x, x], axis=0)
         eps = self.unet_fn(
-            xin, t, embeds.joint_ctx, embeds.joint_pooled,
+            params, xin, t, embeds.joint_ctx, embeds.joint_pooled,
             jnp.zeros((2,), jnp.int32),
         )
         return eps[0:1], eps[1:2]
 
-    def _prologue_eps(self, embeds: TextEmbeds, x, t):
+    def _prologue_eps(self, params, embeds: TextEmbeds, x, t):
         n = self.config.num_concepts
         ctx = jnp.concatenate([embeds.joint_ctx, embeds.single_ctx], axis=0)
         pooled = jnp.concatenate([embeds.joint_pooled, embeds.single_pooled], axis=0)
         xin = jnp.concatenate([x] * (n + 1), axis=0)
-        return self.unet_fn(xin, t, ctx, pooled, jnp.zeros((n + 1,), jnp.int32))
+        return self.unet_fn(params, xin, t, ctx, pooled, jnp.zeros((n + 1,), jnp.int32))
 
     # -- phases ------------------------------------------------------------
 
-    def prologue(self, embeds: TextEmbeds, x):
+    def prologue(self, params, embeds: TextEmbeds, x):
         """Step 0: batch-(N+1) forward + resampling (fusion_sampling.py:347-423)."""
         cfg = self.config
         tbl = self.table
@@ -132,7 +142,7 @@ class FusionSampler:
         t = tbl.timesteps[0]
         at, at_next = tbl.alpha(t), tbl.alpha(t - tbl.skip)
 
-        eps = self._prologue_eps(embeds, x, t)
+        eps = self._prologue_eps(params, embeds, x, t)
 
         def resample(carry, _):
             x, eps = carry
@@ -143,11 +153,11 @@ class FusionSampler:
                 eps_s = cfg_combine(eps_u, eps[2 + cc : 3 + cc], g)
                 x0 = x0 - tbl.tweedie(x, eps_s, at)
             x_next = tbl.renoise(x0, eps_u, at_next)
-            eu2, ec2 = self._joint_eps(embeds, x_next, t - tbl.skip)
+            eu2, ec2 = self._joint_eps(params, embeds, x_next, t - tbl.skip)
             eps_next = cfg_combine(eu2, ec2, g)
             x0_next = tbl.tweedie(x_next, eps_next, at_next)
             x_back = tbl.renoise(x0_next, eu2, at)  # back up to t with uncond eps
-            eps_new = self._prologue_eps(embeds, x_back, t)
+            eps_new = self._prologue_eps(params, embeds, x_back, t)
             return (x_back, eps_new), None
 
         if cfg.resampling_steps > 0:
@@ -158,7 +168,7 @@ class FusionSampler:
         x0 = tbl.tweedie(x, eps_j, at)
         return tbl.renoise(x0, eps_u, at_next), x0
 
-    def joint_scan(self, embeds: TextEmbeds, x, start: int, stop: int):
+    def joint_scan(self, params, embeds: TextEmbeds, x, start: int, stop: int):
         """Joint CFG steps for indices [start, stop); returns (x, last x0).
 
         The final trajectory step (index n_timesteps-1, t==1) returns the
@@ -173,7 +183,7 @@ class FusionSampler:
 
         def step(x, inp):
             t, final = inp
-            eps_u, eps_c = self._joint_eps(embeds, x, t)
+            eps_u, eps_c = self._joint_eps(params, embeds, x, t)
             eps = cfg_combine(eps_u, eps_c, cfg.guidance_scale)
             x0 = tbl.tweedie(x, eps, tbl.alpha(t))
             x_next = tbl.renoise(x0, eps_u, tbl.alpha(t - tbl.skip))
@@ -183,7 +193,7 @@ class FusionSampler:
         x, x0s = jax.lax.scan(step, x, (ts, is_final))
         return x, x0s[-1]
 
-    def jumping(self, embeds: TextEmbeds, x):
+    def jumping(self, params, embeds: TextEmbeds, x):
         """Jumping Tweedie preview (fusion_sampling.py:431-447): from the
         latent after the boundary step, march joint forwards with
         t -= jump_stride; return the final Tweedie x0."""
@@ -194,7 +204,7 @@ class FusionSampler:
         def body(carry, j):
             x, _ = carry
             tt = t0 - j * cfg.jump_stride
-            eps_u, eps_c = self._joint_eps(embeds, x, tt)
+            eps_u, eps_c = self._joint_eps(params, embeds, x, tt)
             eps = cfg_combine(eps_u, eps_c, cfg.guidance_scale)
             x0 = tbl.tweedie(x, eps, tbl.alpha(tt))
             x_next = tbl.renoise(x0, eps_u, tbl.alpha(tt - cfg.jump_stride))
@@ -205,7 +215,7 @@ class FusionSampler:
         )
         return x0
 
-    def fused_scan(self, embeds: TextEmbeds, x, masks, start: int, stop: int):
+    def fused_scan(self, params, embeds: TextEmbeds, x, masks, start: int, stop: int):
         """Masked Tweedie fusion steps for indices [start, stop)
         (fusion_sampling.py:324-340,378-385).
 
@@ -224,7 +234,7 @@ class FusionSampler:
         def step(x, inp):
             t, final = inp
             xin = jnp.concatenate([x] * (n + 1), axis=0)
-            eps = self.unet_fn(xin, t, embeds.concept_ctx, embeds.concept_pooled, concept_idx)
+            eps = self.unet_fn(params, xin, t, embeds.concept_ctx, embeds.concept_pooled, concept_idx)
             eps_u = eps[0:1]
             at = tbl.alpha(t)
             eps_cc = cfg_combine(eps_u, eps[1:], cfg.guidance_scale)  # [N, ...]
@@ -254,28 +264,27 @@ class FusionSampler:
         Returns the final latent x0 (pre-VAE-decode, still scaled).
         """
         cfg = self.config
+        params = self.unet_params
         x = self.init_latent(key)
-        x, x0 = jax.jit(self.prologue)(embeds, x)
-        x, x0_last = jax.jit(
-            self.joint_scan, static_argnames=("start", "stop")
-        )(embeds, x, start=1, stop=cfg.t_cond_idx)
+        x, x0 = self._jit_prologue(params, embeds, x)
+        x, x0_last = self._jit_joint(params, embeds, x, start=1, stop=cfg.t_cond_idx)
         if x0_last is None:
             x0_last = x0
 
         if cfg.jumping_steps > 0:
-            preview_x0 = jax.jit(self.jumping)(embeds, x)
+            preview_x0 = self._jit_jumping(params, embeds, x)
         else:
             preview_x0 = x0_last
 
         masks = self.compute_masks(preview_x0, fg_masks)
 
-        x = jax.jit(self.fused_scan, static_argnames=("start", "stop"))(
-            embeds, x, masks, start=cfg.t_cond_idx, stop=cfg.fused_end_idx + 1
+        x = self._jit_fused(
+            params, embeds, x, masks, start=cfg.t_cond_idx, stop=cfg.fused_end_idx + 1
         )
         if cfg.fused_end_idx + 1 < cfg.n_timesteps:
             # LoRA t_stop tail: back to joint CFG (fusion_sampling_lora.py:324)
-            x, _ = jax.jit(self.joint_scan, static_argnames=("start", "stop"))(
-                embeds, x, start=cfg.fused_end_idx + 1, stop=cfg.n_timesteps
+            x, _ = self._jit_joint(
+                params, embeds, x, start=cfg.fused_end_idx + 1, stop=cfg.n_timesteps
             )
         return x
 

@@ -87,6 +87,33 @@ class VAEAttention(nn.Module):
         return out.reshape(b, h, w, c) + res
 
 
+class VAEDownsample(nn.Module):
+    """Strided conv with diffusers' asymmetric (0,1) padding."""
+
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(
+            self.out_channels, (3, 3), strides=(2, 2), padding=((0, 1), (0, 1)),
+            dtype=self.dtype, name="conv",
+        )(x)
+
+
+class VAEUpsample(nn.Module):
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        return nn.Conv(
+            self.out_channels, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv"
+        )(x)
+
+
 class Encoder(nn.Module):
     config: VAEConfig
 
@@ -99,11 +126,7 @@ class Encoder(nn.Module):
             for j in range(cfg.layers_per_block):
                 x = VAEResnetBlock(ch, cfg.norm_num_groups, cfg.dtype, name=f"down_blocks_{i}_resnets_{j}")(x)
             if i < n - 1:
-                # diffusers VAE downsample uses asymmetric (0,1) padding
-                x = nn.Conv(
-                    ch, (3, 3), strides=(2, 2), padding=((0, 1), (0, 1)),
-                    dtype=cfg.dtype, name=f"down_blocks_{i}_downsamplers_0",
-                )(x)
+                x = VAEDownsample(ch, cfg.dtype, name=f"down_blocks_{i}_downsamplers_0")(x)
         ch = cfg.block_out_channels[-1]
         x = VAEResnetBlock(ch, cfg.norm_num_groups, cfg.dtype, name="mid_block_resnets_0")(x)
         x = VAEAttention(cfg.norm_num_groups, cfg.dtype, name="mid_block_attentions_0")(x)
@@ -129,9 +152,7 @@ class Decoder(nn.Module):
             for j in range(cfg.layers_per_block + 1):
                 x = VAEResnetBlock(ch, cfg.norm_num_groups, cfg.dtype, name=f"up_blocks_{i}_resnets_{j}")(x)
             if i < n - 1:
-                b, h, w, c = x.shape
-                x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
-                x = nn.Conv(ch, (3, 3), padding=((1, 1), (1, 1)), dtype=cfg.dtype, name=f"up_blocks_{i}_upsamplers_0")(x)
+                x = VAEUpsample(ch, cfg.dtype, name=f"up_blocks_{i}_upsamplers_0")(x)
         x = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-6, dtype=cfg.dtype, name="conv_norm_out")(x)
         x = nn.silu(x)
         return nn.Conv(cfg.out_channels, (3, 3), padding=((1, 1), (1, 1)), dtype=cfg.dtype, name="conv_out")(x)

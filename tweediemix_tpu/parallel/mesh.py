@@ -1,0 +1,85 @@
+"""Device mesh + sharding layouts.
+
+The reference's only distribution mechanisms are HF-accelerate DDP for
+training (``concept_training/diffusers_training_xl_new.py:503-508,913-920``,
+NCCL underneath) and an env-var-pinned subprocess for segmentation
+(``fusion_generation/fusion_sampling.py:458-459``). The TPU-native
+equivalents here:
+
+* **Training DP**: a 1-D ``("dp",)`` mesh; params replicated, batch sharded
+  on ``dp``; grads reduced by XLA-inserted collectives under ``jit`` with
+  sharding annotations (no hand-written psum needed at this layer).
+* **Inference concept/CFG-row parallelism** (the repo-specific axis —
+  SURVEY §2.5): the fused phase's N+1 batch rows shard across chips, each
+  chip computing its concept's eps with its K/V slot; the Tweedie fusion
+  reduction rides ICI.
+* **Batch-of-seeds parallelism**: multiple seeds/prompts shard on ``dp``
+  for the "8 seeds in parallel" serving config.
+
+TP/PP/SP/EP are intentionally absent: SDXL fits in one v5e chip's HBM in
+bf16 and the reference has no model-parallel path either (SURVEY §2.5 marks
+them N/A). The mesh helpers still accept extra axes so a TP axis can be
+added without API changes.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(axes: Dict[str, int] | None = None, devices=None) -> Mesh:
+    """Create a mesh; default is all devices on a single ``dp`` axis."""
+    devices = devices if devices is not None else jax.devices()
+    if axes is None:
+        axes = {"dp": len(devices)}
+    names = tuple(axes.keys())
+    shape = tuple(axes.values())
+    assert int(np.prod(shape)) == len(devices), (shape, len(devices))
+    return Mesh(np.asarray(devices).reshape(shape), names)
+
+
+def replicate(mesh: Mesh, tree):
+    """Fully replicate a pytree across the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+def shard_batch(mesh: Mesh, tree, axis: str = "dp"):
+    """Shard every leaf's leading dim across ``axis``."""
+    return jax.device_put(tree, NamedSharding(mesh, P(axis)))
+
+
+def concept_sharded_unet_fn(mesh: Mesh, unet_fn, axis: str = "dp"):
+    """Wrap a unet_fn so its batch rows (uncond + N concepts) shard across
+    ``axis``: the BASELINE north-star layout where per-concept forwards run
+    on separate chips as one sharded call.
+
+    Rows must be padded to a multiple of the axis size by the caller.
+    """
+    batch_sharding = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
+
+    def wrapped(x, t, ctx, pooled, concept_idx):
+        x = jax.lax.with_sharding_constraint(x, batch_sharding)
+        ctx = jax.lax.with_sharding_constraint(ctx, batch_sharding)
+        pooled = jax.lax.with_sharding_constraint(pooled, batch_sharding)
+        concept_idx = jax.lax.with_sharding_constraint(concept_idx, batch_sharding)
+        eps = unet_fn(x, t, ctx, pooled, concept_idx)
+        return jax.lax.with_sharding_constraint(eps, rep)
+
+    return wrapped
+
+
+def pad_rows_to(x, n: int):
+    """Pad leading dim up to n (repeat last row); returns (padded, orig_len)."""
+    b = x.shape[0]
+    if b == n:
+        return x, b
+    reps = [x] + [x[-1:]] * (n - b)
+    import jax.numpy as jnp
+
+    return jnp.concatenate(reps, axis=0), b
