@@ -1,0 +1,234 @@
+"""Training subsystem tests: native augmentation kernel, dataset semantics,
+train-step selectivity (only trainable leaves move), delta checkpoint
+roundtrip, and a train→sample end-to-end smoke via both CLIs."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import traverse_util
+
+from tweediemix_tpu.native.build import _paste_augment_np, get_augment_lib, paste_augment
+
+
+def test_native_kernel_matches_numpy():
+    rng = np.random.RandomState(0)
+    for trial in range(4):
+        ih, iw = rng.randint(20, 80), rng.randint(20, 80)
+        img = rng.randint(0, 255, (ih, iw, 3), np.uint8)
+        th, tw = rng.randint(8, 64), rng.randint(8, 64)
+        size = 128
+        oy = rng.randint(0, size - th + 1)
+        ox = rng.randint(0, size - tw + 1)
+        a, ma = paste_augment(img, th, tw, oy, ox, size, size // 8)
+        b, mb = _paste_augment_np(img, th, tw, oy, ox, size, size // 8)
+        np.testing.assert_allclose(a, b, atol=1e-4, err_msg=f"trial {trial}")
+        np.testing.assert_array_equal(ma, mb)
+
+
+def test_native_kernel_built():
+    # g++ is in this image; the C++ path must actually be exercised
+    assert get_augment_lib() is not None
+
+
+def test_mask_semantics():
+    """Mask covers the paste footprint shrunk by 1 latent px per side
+    (diffusers_data_pipeline_xl.py:175-176)."""
+    img = np.full((64, 64, 3), 255, np.uint8)
+    size = 128
+    canvas, mask = paste_augment(img, 64, 64, 16, 32, size, size // 8)
+    want = np.zeros((16, 16), np.float32)
+    want[16 // 8 + 1 : (16 + 64) // 8 - 1, 32 // 8 + 1 : (32 + 64) // 8 - 1] = 1.0
+    np.testing.assert_array_equal(mask, want)
+    # canvas is black outside the paste, image inside, normalized to [-1,1]
+    assert canvas[0, 0, 0] == -1.0
+    np.testing.assert_allclose(canvas[16 + 5, 32 + 5], 1.0, atol=1e-2)
+
+
+@pytest.fixture
+def image_dirs(tmp_path):
+    from PIL import Image
+
+    inst = tmp_path / "inst"
+    cls = tmp_path / "cls"
+    inst.mkdir()
+    cls.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(3):
+        Image.fromarray(rng.randint(0, 255, (96, 80, 3), np.uint8)).save(inst / f"{i}.png")
+    for i in range(4):
+        Image.fromarray(rng.randint(0, 255, (64, 64, 3), np.uint8)).save(cls / f"{i}.png")
+    return str(inst), str(cls)
+
+
+def test_dataset_collate_layout(image_dirs):
+    from tweediemix_tpu.training.data import ConceptSpec, CustomDiffusionDataset
+    from tweediemix_tpu.utils.tokenizer import HashTokenizer
+
+    inst, cls = image_dirs
+    ds = CustomDiffusionDataset(
+        [ConceptSpec(inst, "photo of a <new1> cat", cls, "photo of a cat")],
+        HashTokenizer(), HashTokenizer(), size=64,
+        with_prior_preservation=True, seed=0,
+    )
+    batch = next(ds.batches(2, 1))
+    assert batch["pixel_values"].shape == (4, 64, 64, 3)  # 2 instance + 2 prior
+    assert batch["mask"].shape == (4, 8, 8, 1)
+    assert batch["ids_one"].shape == (4, 77)
+    np.testing.assert_array_equal(batch["is_prior"], [0, 0, 1, 1])
+    # prior rows have all-ones masks
+    np.testing.assert_array_equal(batch["mask"][2:], 1.0)
+    assert batch["pixel_values"].min() >= -1.0 and batch["pixel_values"].max() <= 1.0
+
+
+def test_train_step_only_moves_trainable_leaves():
+    from tweediemix_tpu.models.clip import CLIPTextConfig, CLIPTextModel
+    from tweediemix_tpu.models.unet2d import UNet2DConditionModel, UNetConfig
+    from tweediemix_tpu.schedulers.ddim import training_alphas_cumprod
+    from tweediemix_tpu.training.custom_diffusion import TrainConfig
+    from tweediemix_tpu.training.trainer import (
+        FullTrainState,
+        embedding_row_mask,
+        full_trainable_mask,
+        make_full_optimizer,
+        make_full_train_step,
+    )
+
+    key = jax.random.PRNGKey(0)
+    c1 = CLIPTextConfig.tiny()
+    c2 = CLIPTextConfig.tiny(projection_dim=32)
+    ucfg = UNetConfig.micro(cross_attention_dim=64, pooled_projection_dim=32,
+                            detach_first_token_kv=True)
+    unet = UNet2DConditionModel(ucfg)
+    te1, te2 = CLIPTextModel(c1), CLIPTextModel(c2)
+    h = 8
+    ids = jnp.zeros((2, 77), jnp.int32).at[:, 5].set(999)
+    params = {
+        "unet": jax.jit(unet.init)(
+            key, jnp.zeros((2, h, h, 4)), jnp.int32(1), jnp.zeros((2, 77, 64)),
+            jnp.zeros((2, 32)), jnp.zeros((2, 6)))["params"],
+        "te1": jax.jit(te1.init)(key, ids)["params"],
+        "te2": jax.jit(te2.init)(jax.random.fold_in(key, 1), ids)["params"],
+    }
+    cfg = TrainConfig(learning_rate=1e-3, with_prior_preservation=True)
+    mask = full_trainable_mask(params, "crossattn_kv", True)
+    opt = make_full_optimizer(cfg, mask)
+    rm1 = embedding_row_mask(c1.vocab_size, [7])
+    rm2 = embedding_row_mask(c2.vocab_size, [7])
+    tids = jnp.array([[64, 64, 0, 0, 64, 64]], jnp.float32)
+    step = jax.jit(make_full_train_step(
+        unet, te1, te2, cfg, training_alphas_cumprod(), opt, rm1, rm2, tids))
+
+    batch = {
+        "latents": jax.random.normal(key, (4, h, h, 4)),
+        "mask": jnp.ones((4, h, h, 1)),
+        "ids_one": jnp.tile(ids, (2, 1)).at[:, 2].set(7),
+        "ids_two": jnp.tile(ids, (2, 1)).at[:, 2].set(7),
+        "is_prior": jnp.array([0.0, 0.0, 1.0, 1.0]),
+    }
+    state = FullTrainState(step=jnp.zeros((), jnp.int32), params=params,
+                           opt_state=opt.init(params))
+    state2, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert bool(jnp.isfinite(metrics["loss"]))
+    assert "prior_loss" in metrics
+
+    flat0 = traverse_util.flatten_dict(params)
+    flat1 = traverse_util.flatten_dict(state2.params)
+    flat_m = traverse_util.flatten_dict(mask)
+    moved = {p: float(jnp.max(jnp.abs(flat1[p] - flat0[p]))) for p in flat0}
+    for p, on in flat_m.items():
+        if on and p[-1] != "embedding":
+            assert moved[p] > 0, f"trainable leaf did not move: {p}"
+        if not on:
+            assert moved[p] == 0, f"frozen leaf moved: {p}"
+    # embedding tables: only row 7 (modifier) moves
+    for te in ("te1", "te2"):
+        emb0 = np.asarray(flat0[(te, "token_embedding", "embedding")])
+        emb1 = np.asarray(flat1[(te, "token_embedding", "embedding")])
+        diff = np.abs(emb1 - emb0).max(axis=1)
+        assert diff[7] > 0
+        others = np.delete(diff, 7)
+        np.testing.assert_allclose(others, 0, atol=2e-5)  # wd-only drift
+
+
+def test_delta_checkpoint_roundtrip(tmp_path):
+    from tweediemix_tpu.concepts.delta import (
+        flax_path_to_torch_name,
+        load_reference_delta,
+        save_reference_delta,
+        torch_name_to_flax_path,
+    )
+
+    path = (
+        "down_blocks_1_attentions_0", "transformer_blocks_2", "attn2", "to_k", "kernel"
+    )
+    tname = flax_path_to_torch_name(path)
+    assert tname == "down_blocks.1.attentions.0.transformer_blocks.2.attn2.to_k.weight"
+    assert torch_name_to_flax_path(tname) == path
+
+    arr = np.arange(12, dtype=np.float32).reshape(3, 4)
+    f = str(tmp_path / "delta-1.bin")
+    save_reference_delta(
+        f, {path: arr}, {"<new1>": np.ones(8, np.float32)}, {"<new1>": np.zeros(6, np.float32)}
+    )
+    back = load_reference_delta(f)
+    np.testing.assert_allclose(back["unet"][path], arr)
+    np.testing.assert_allclose(back["modifier_token"]["<new1>"], 1.0)
+    assert back["modifier_token_2"]["<new1>"].shape == (6,)
+
+
+def test_train_then_sample_cli_end_to_end(tmp_path, image_dirs):
+    """Full product circle: tiny training writes a delta checkpoint that the
+    fusion sampling CLI consumes."""
+    from PIL import Image
+
+    from tweediemix_tpu.cli.fusion_sampling import main as sample_main
+    from tweediemix_tpu.cli.train import main as train_main
+
+    inst, cls = image_dirs
+    out = tmp_path / "ckpt"
+    rc = train_main([
+        "--model_preset", "tiny",
+        "--instance_data_dir", inst,
+        "--instance_prompt", "photo of a <new1> cat",
+        "--class_data_dir", cls,
+        "--class_prompt", "photo of a cat",
+        "--with_prior_preservation",
+        "--modifier_token", "<new1>",
+        "--resolution", "64",
+        "--max_train_steps", "3",
+        "--save_steps", "100",
+        "--output_dir", str(out),
+        "--learning_rate", "1e-4",
+    ])
+    assert rc == 0
+    ckpts = sorted(out.glob("delta-*.bin"))
+    assert ckpts, list(out.iterdir())
+
+    # masks for the sampling side
+    mask_dir = tmp_path / "masks"
+    mask_dir.mkdir()
+    m = np.zeros((16, 16), np.uint8)
+    m[:, :8] = 255
+    Image.fromarray(m).save(mask_dir / "a cat.jpg")
+    Image.fromarray(255 - m).save(mask_dir / "a dog.jpg")
+
+    sample_out = tmp_path / "sample_out"
+    rc = sample_main([
+        "--model_preset", "tiny",
+        "--personal_checkpoint", f"{ckpts[-1]}+{ckpts[-1]}+{ckpts[-1]}",
+        "--prompt", "photo of a cat running+photo of a dog running+mountain background",
+        "--prompt_orig", "photo of a cat and a dog",
+        "--concepts", "cat+dog+mountain",
+        "--modifier_token", "<new1>+<new2>+<new3>",
+        "--seg_concepts", "a cat+a dog",
+        "--mask_dir", str(mask_dir),
+        "--output_path", str(sample_out),
+        "--n_timesteps", "4", "--t_cond", "0.5",
+        "--resampling_steps", "0", "--jumping_steps", "0",
+        "--resolution_h", "128", "--resolution_w", "128",
+    ])
+    assert rc == 0
+    assert list(sample_out.glob("*.png"))

@@ -1,0 +1,277 @@
+"""Single-concept personalization training CLI.
+
+Flag-compatible core of ``concept_training/diffusers_training_xl_new.py``
+(argparse :201-487) and the LoRA variant, as driven by
+``singleconcept_train.sh:5-41``. One binary covers Custom-Diffusion
+(``--freeze_model crossattn_kv|crossattn``) and LoRA (``--freeze_model
+lora``). Data parallelism comes from jit sharding over all local devices
+(replacing ``accelerate launch``); learning rate scales with batch ×
+accumulation × devices like the reference's ``scale_lr`` (:728-733).
+
+Saves ``delta-{step}.bin`` checkpoints in the reference's torch schema
+every ``--save_steps``, plus orbax resume checkpoints (``--resume_step``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--pretrained_model_name_or_path", "--model_dir", dest="model_dir",
+                   type=str, default=None)
+    p.add_argument("--model_preset", type=str, default=None, choices=[None, "tiny"])
+    p.add_argument("--instance_data_dir", type=str, default=None)
+    p.add_argument("--class_data_dir", type=str, default=None)
+    p.add_argument("--instance_prompt", type=str, default=None)
+    p.add_argument("--class_prompt", type=str, default=None)
+    p.add_argument("--concepts_list", type=str, default=None,
+                   help="JSON file with per-concept dirs/prompts")
+    p.add_argument("--with_prior_preservation", action="store_true")
+    p.add_argument("--prior_loss_weight", type=float, default=1.0)
+    p.add_argument("--num_class_images", type=int, default=200)
+    p.add_argument("--real_prior", action="store_true",
+                   help="retrieve real regularization images from LAION")
+    p.add_argument("--output_dir", type=str, default="./ckpt")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--resolution", type=int, default=512)
+    p.add_argument("--train_batch_size", type=int, default=1)
+    p.add_argument("--max_train_steps", type=int, default=251)
+    p.add_argument("--save_steps", type=int, default=250)
+    p.add_argument("--gradient_accumulation_steps", type=int, default=1)
+    p.add_argument("--learning_rate", type=float, default=1e-5)
+    p.add_argument("--scale_lr", action="store_true")
+    p.add_argument("--max_grad_norm", type=float, default=1.0)
+    p.add_argument("--adam_weight_decay", type=float, default=1e-2)
+    p.add_argument("--freeze_model", type=str, default="crossattn_kv",
+                   choices=["crossattn_kv", "crossattn", "lora"])
+    p.add_argument("--lora_rank", type=int, default=4)
+    p.add_argument("--modifier_token", type=str, default=None, help="'+'-separated")
+    p.add_argument("--initializer_token", type=str, default="ktn+pll+ucd")
+    p.add_argument("--hflip", action="store_true")
+    p.add_argument("--resume_step", type=int, default=None)
+    p.add_argument("--report_to", type=str, default="none")
+    return p
+
+
+def main(argv=None) -> int:
+    opt = build_parser().parse_args(argv)
+    os.makedirs(opt.output_dir, exist_ok=True)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tweediemix_tpu.models.clip import CLIPTextConfig, CLIPTextModel
+    from tweediemix_tpu.models.unet2d import UNet2DConditionModel, UNetConfig
+    from tweediemix_tpu.models.vae import AutoencoderKL, VAEConfig, scale_latents
+    from tweediemix_tpu.schedulers.ddim import training_alphas_cumprod
+    from tweediemix_tpu.training.custom_diffusion import TrainConfig
+    from tweediemix_tpu.training.data import ConceptSpec, CustomDiffusionDataset
+    from tweediemix_tpu.training.trainer import (
+        FullTrainState,
+        embedding_row_mask,
+        full_trainable_mask,
+        make_full_optimizer,
+        make_full_train_step,
+        save_delta_checkpoint,
+        save_resume_checkpoint,
+    )
+    from tweediemix_tpu.utils.tokenizer import CLIPBPETokenizer, HashTokenizer
+
+    # --- concepts ---
+    if opt.concepts_list:
+        with open(opt.concepts_list) as f:
+            concepts = [ConceptSpec(**c) for c in json.load(f)]
+    else:
+        assert opt.instance_data_dir and opt.instance_prompt
+        concepts = [ConceptSpec(opt.instance_data_dir, opt.instance_prompt,
+                                opt.class_data_dir, opt.class_prompt)]
+
+    # --- real prior retrieval (reference retrieve.py path) ---
+    if opt.real_prior and opt.with_prior_preservation:
+        from tweediemix_tpu.training.retrieve import retrieve
+
+        for c in concepts:
+            if c.class_data_dir and not os.path.isdir(os.path.join(c.class_data_dir, "images")):
+                try:
+                    n = retrieve(c.class_prompt, c.class_data_dir, opt.num_class_images)
+                    print(f"retrieved {n} regularization images for {c.class_prompt!r}")
+                except RuntimeError as e:
+                    print(f"warning: {e}; continuing without real prior", file=sys.stderr)
+
+    # --- models ---
+    key = jax.random.PRNGKey(opt.seed)
+    lora = opt.freeze_model == "lora"
+    if opt.model_preset == "tiny" or opt.model_dir is None:
+        # keep identical to cli/fusion_sampling.py's tiny preset so tiny
+        # training checkpoints can be sampled end-to-end
+        c1 = CLIPTextConfig.tiny()
+        c2 = CLIPTextConfig.tiny(projection_dim=32)
+        ucfg = UNetConfig.micro(
+            cross_attention_dim=c1.hidden_size + c2.hidden_size,
+            pooled_projection_dim=32,
+            lora_slots=1 if lora else 0,
+            lora_rank=opt.lora_rank,
+            detach_first_token_kv=not lora,
+        )
+        vcfg = VAEConfig.tiny()
+        tok1, tok2 = HashTokenizer(c1.vocab_size), HashTokenizer(c2.vocab_size)
+        te1_params = jax.jit(CLIPTextModel(c1).init)(key, jnp.zeros((1, 77), jnp.int32))["params"]
+        te2_params = jax.jit(CLIPTextModel(c2).init)(
+            jax.random.fold_in(key, 1), jnp.zeros((1, 77), jnp.int32))["params"]
+        vae = AutoencoderKL(vcfg)
+        vae_params = jax.jit(vae.init)(key, jnp.zeros((1, 16, 16, 3)), jax.random.PRNGKey(0))["params"]
+        h = opt.resolution // 8
+        unet = UNet2DConditionModel(ucfg)
+        uinit = jax.jit(unet.init)(
+            key, jnp.zeros((1, h, h, 4)), jnp.int32(1),
+            jnp.zeros((1, 77, ucfg.cross_attention_dim)),
+            jnp.zeros((1, ucfg.pooled_projection_dim)), jnp.zeros((1, 6)),
+        )
+        unet_params = uinit["params"]
+    else:
+        from tweediemix_tpu.models.convert import (
+            load_clip_params, load_unet_params, load_vae_params)
+
+        d = opt.model_dir
+        c1 = CLIPTextConfig.sdxl_text_encoder()
+        c2 = CLIPTextConfig.sdxl_text_encoder_2()
+        ucfg = UNetConfig.sdxl(
+            dtype=jnp.bfloat16,
+            lora_slots=1 if lora else 0, lora_rank=opt.lora_rank,
+            detach_first_token_kv=not lora,
+        )
+        vcfg = VAEConfig.sdxl()
+        tok1 = CLIPBPETokenizer.from_dir(os.path.join(d, "tokenizer"))
+        tok2 = CLIPBPETokenizer.from_dir(os.path.join(d, "tokenizer_2"))
+        te1_params = load_clip_params(os.path.join(d, "text_encoder"))
+        te2_params = load_clip_params(os.path.join(d, "text_encoder_2"))
+        vae = AutoencoderKL(vcfg)
+        vae_params = load_vae_params(os.path.join(d, "vae"))
+        unet = UNet2DConditionModel(ucfg)
+        unet_params = load_unet_params(os.path.join(d, "unet"))
+        if lora:
+            from tweediemix_tpu.concepts.delta import stack_lora_params
+
+            unet_params = stack_lora_params(unet_params, [], rank=opt.lora_rank)
+
+    # --- modifier tokens (reference :800-858) ---
+    import dataclasses as dc
+
+    from tweediemix_tpu.models.clip import resize_token_embeddings
+    from flax import traverse_util as tu
+
+    modifier_tokens = opt.modifier_token.split("+") if opt.modifier_token else []
+    initializers = opt.initializer_token.split("+")
+    ids1, ids2 = [], []
+    for i, tok in enumerate(modifier_tokens):
+        tok1.add_tokens(tok)
+        tok2.add_tokens(tok)
+        ids1.append(tok1.convert_tokens_to_ids(tok))
+        ids2.append(tok2.convert_tokens_to_ids(tok))
+    if modifier_tokens:
+        te1_params = resize_token_embeddings(te1_params, max(ids1) + 1, rng=key)
+        te2_params = resize_token_embeddings(te2_params, max(ids2) + 1, rng=key)
+        # init new rows from the initializer token's row
+        for params, tok, ids in ((te1_params, tok1, ids1), (te2_params, tok2, ids2)):
+            emb = np.array(tu.flatten_dict(params)[("token_embedding", "embedding")])
+            for j, tid in enumerate(ids):
+                init_tok = initializers[min(j, len(initializers) - 1)].split("+")[0]
+                emb[tid] = emb[tok.convert_tokens_to_ids(init_tok)]
+            flat = dict(tu.flatten_dict(params))
+            flat[("token_embedding", "embedding")] = jnp.asarray(emb)
+            params.clear()
+            params.update(tu.unflatten_dict(flat))
+        c1 = dc.replace(c1, vocab_size=max(ids1) + 1)
+        c2 = dc.replace(c2, vocab_size=max(ids2) + 1)
+
+    te1 = CLIPTextModel(c1)
+    te2 = CLIPTextModel(c2)
+
+    # --- dataset ---
+    latent_factor = 2 ** (len(vcfg.block_out_channels) - 1)
+    ds = CustomDiffusionDataset(
+        concepts, tok1, tok2, size=opt.resolution,
+        with_prior_preservation=opt.with_prior_preservation,
+        num_class_images=opt.num_class_images, hflip=opt.hflip, seed=opt.seed,
+        latent_factor=latent_factor,
+    )
+
+    # --- optimizer / train step ---
+    n_dev = jax.local_device_count()
+    lr = opt.learning_rate
+    if opt.scale_lr:
+        lr *= opt.gradient_accumulation_steps * opt.train_batch_size * n_dev
+    tcfg = TrainConfig(
+        learning_rate=lr,
+        max_grad_norm=opt.max_grad_norm,
+        adam_weight_decay=opt.adam_weight_decay,
+        prior_loss_weight=opt.prior_loss_weight,
+        with_prior_preservation=opt.with_prior_preservation,
+        freeze_model=opt.freeze_model,
+    )
+    params = {"unet": unet_params, "te1": te1_params, "te2": te2_params}
+    mask = full_trainable_mask(params, opt.freeze_model, bool(modifier_tokens))
+    optimizer = make_full_optimizer(tcfg, mask, opt.gradient_accumulation_steps)
+    acp = training_alphas_cumprod()
+    time_ids = jnp.array(
+        [[opt.resolution, opt.resolution, 0, 0, opt.resolution, opt.resolution]], jnp.float32
+    )
+    rm1 = embedding_row_mask(c1.vocab_size, ids1) if modifier_tokens else None
+    rm2 = embedding_row_mask(c2.vocab_size, ids2) if modifier_tokens else None
+    train_step = jax.jit(make_full_train_step(
+        unet, te1, te2, tcfg, acp, optimizer, rm1, rm2, time_ids))
+
+    state = FullTrainState(
+        step=jnp.zeros((), jnp.int32), params=params, opt_state=optimizer.init(params)
+    )
+    if opt.resume_step is not None:
+        from tweediemix_tpu.training.trainer import load_resume_checkpoint
+
+        state = load_resume_checkpoint(os.path.join(opt.output_dir, "resume"), opt.resume_step, state)
+        print(f"resumed from step {opt.resume_step}")
+
+    def encode_fn(vp, px, rng):
+        mean, logvar = vae.apply({"params": vp}, px, method=vae.encode)
+        z = mean + jnp.exp(0.5 * logvar) * jax.random.normal(rng, mean.shape)
+        return scale_latents(z, vcfg)
+
+    encode = jax.jit(encode_fn)
+
+    # state.step counts micro (accumulation) steps; user-facing step counts,
+    # save cadence, and checkpoint names are in optimizer steps like the
+    # reference's global_step (diffusers_training_xl_new.py:1071-1098)
+    accum = opt.gradient_accumulation_steps
+    rng = jax.random.PRNGKey(opt.seed)
+    start_opt_step = int(state.step) // accum
+    micro_steps = (opt.max_train_steps - start_opt_step) * accum
+    for i, batch_np in enumerate(ds.batches(opt.train_batch_size, micro_steps)):
+        batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+        latents = encode(vae_params, batch.pop("pixel_values"),
+                         jax.random.fold_in(rng, 1000 + i))
+        batch["latents"] = latents
+        state, metrics = train_step(state, batch, rng)
+        opt_step, at_boundary = divmod(int(state.step), accum)
+        if at_boundary == 0:
+            if opt_step % 10 == 1 or opt_step == opt.max_train_steps:
+                print(f"step {opt_step}: loss {float(metrics['loss']):.4f}")
+            if opt_step > start_opt_step and opt_step % opt.save_steps == 0:
+                path = os.path.join(opt.output_dir, f"delta-{opt_step}.bin")
+                save_delta_checkpoint(path, state, mask, modifier_tokens, ids1, ids2)
+                save_resume_checkpoint(os.path.join(opt.output_dir, "resume"), state)
+                print(f"saved {path}")
+
+    final_step = int(state.step) // accum
+    final = os.path.join(opt.output_dir, f"delta-{final_step}.bin")
+    save_delta_checkpoint(final, state, mask, modifier_tokens, ids1, ids2)
+    print(f"saved {final}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -64,6 +64,54 @@ def convert_torch_tensor(path: Tuple[str, ...], array: np.ndarray) -> np.ndarray
     return array
 
 
+def flax_path_to_torch_name(path: Tuple[str, ...]) -> str:
+    """Inverse of ``torch_name_to_flax_path`` for the paths that appear in
+    delta checkpoints (attn params, LoRA factors)."""
+    parts = []
+    for seg in path:
+        seg = re.sub(r"(down_blocks|up_blocks)_(\d+)_(attentions|resnets|downsamplers|upsamplers)_(\d+)",
+                     r"\1.\2.\3.\4", seg)
+        seg = re.sub(r"mid_block_(attentions|resnets)_(\d+)", r"mid_block.\1.\2", seg)
+        seg = re.sub(r"transformer_blocks_(\d+)", r"transformer_blocks.\1", seg)
+        seg = seg.replace("to_out_0", "to_out.0")
+        parts.append(seg)
+    name = ".".join(parts)
+    if name.endswith(".kernel"):
+        name = name[: -len(".kernel")] + ".weight"
+    return name
+
+
+def save_reference_delta(
+    path: str,
+    unet_deltas: Dict[Tuple[str, ...], np.ndarray],
+    modifier_token: Dict[str, np.ndarray],
+    modifier_token_2: Dict[str, np.ndarray],
+):
+    """Write a delta checkpoint wire-compatible with the reference's
+    ``save_checkpoint`` schema (``concept_training/
+    diffusers_training_xl_new.py:41-66``): ``torch.save`` of
+    ``{'unet': {torch_name: tensor}, 'modifier_token': {...},
+    'modifier_token_2': {...}}``. Linear kernels are transposed back to
+    torch's [out, in]; conv kernels to [O, I, kh, kw]."""
+    import torch
+
+    unet = {}
+    for p, arr in unet_deltas.items():
+        arr = np.asarray(arr, np.float32)
+        if p[-1] == "kernel":
+            if arr.ndim == 2:
+                arr = arr.T
+            elif arr.ndim == 4:
+                arr = arr.transpose(3, 2, 0, 1)
+        unet[flax_path_to_torch_name(p)] = torch.from_numpy(np.array(arr, np.float32, copy=True))
+    st = {
+        "unet": unet,
+        "modifier_token": {k: torch.from_numpy(np.array(v, np.float32, copy=True)) for k, v in modifier_token.items()},
+        "modifier_token_2": {k: torch.from_numpy(np.array(v, np.float32, copy=True)) for k, v in modifier_token_2.items()},
+    }
+    torch.save(st, path)
+
+
 # ---------------------------------------------------------------------------
 # reference .bin delta loading
 

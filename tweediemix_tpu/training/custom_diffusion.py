@@ -84,8 +84,11 @@ def trainable_mask(params, freeze_model: str = "crossattn_kv"):
 
 
 def make_optimizer(cfg: TrainConfig, mask):
-    """Masked clip+AdamW chain; frozen leaves are untouched (incl. weight
-    decay, matching the reference where frozen params simply have no grads)."""
+    """clip+AdamW on trainable leaves, zero updates for frozen ones.
+
+    Note optax.masked passes unmasked grads through *unchanged*, which would
+    apply raw gradients to frozen params — multi_transform with set_to_zero
+    is the correct freeze."""
     inner = optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm),
         optax.adamw(
@@ -96,7 +99,10 @@ def make_optimizer(cfg: TrainConfig, mask):
             weight_decay=cfg.adam_weight_decay,
         ),
     )
-    return optax.masked(inner, mask)
+    labels = jax.tree.map(lambda on: "train" if on else "freeze", mask)
+    return optax.multi_transform(
+        {"train": inner, "freeze": optax.set_to_zero()}, labels
+    )
 
 
 def diffusion_loss(
