@@ -1,0 +1,126 @@
+"""Image-to-video CLI — the reference's ``run_video.py`` equivalent.
+
+Takes a generated multi-concept image (e.g. the fusion sampler's output),
+runs the I2V pipeline with first-frame feature injection, and exports a GIF.
+Defaults mirror ``run_video.py:26-40``: 50 steps, 512², 16 frames, fps 8,
+guidance 9, injection_timestep 0.02, interp_ratio 0.7.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--image", type=str, required=True, help="conditioning image (first frame)")
+    p.add_argument("--prompt", type=str, required=True)
+    p.add_argument("--negative_prompt", type=str,
+                   default="Distorted, discontinuous, Ugly, blurry, low resolution, motionless, "
+                           "static, disfigured, disconnected limbs, Ugly faces, incomplete arms")
+    p.add_argument("--output", type=str, default="./video.gif")
+    p.add_argument("--seed", type=int, default=8888)
+    p.add_argument("--num_frames", type=int, default=16)
+    p.add_argument("--height", type=int, default=512)
+    p.add_argument("--width", type=int, default=512)
+    p.add_argument("--fps", type=int, default=8)
+    p.add_argument("--n_timesteps", type=int, default=50)
+    p.add_argument("--guidance_scale", type=float, default=9.0)
+    p.add_argument("--injection_timestep", type=float, default=0.02)
+    p.add_argument("--interp_ratio", type=float, default=0.7)
+    p.add_argument("--model_dir", type=str, default=None)
+    p.add_argument("--model_preset", type=str, default=None, choices=[None, "tiny"])
+    return p
+
+
+def main(argv=None) -> int:
+    opt = build_parser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from PIL import Image
+
+    from tweediemix_tpu.models.clip import (
+        CLIPTextConfig,
+        CLIPTextModel,
+        CLIPVisionConfig,
+        CLIPVisionModel,
+    )
+    from tweediemix_tpu.models.unet3d import UNet3DConditionModel, UNet3DConfig
+    from tweediemix_tpu.models.vae import AutoencoderKL, VAEConfig
+    from tweediemix_tpu.utils.tokenizer import HashTokenizer
+    from tweediemix_tpu.video.pipeline import I2VPipeline, VideoConfig, export_gif
+
+    key = jax.random.PRNGKey(opt.seed)
+    if opt.model_preset == "tiny" or opt.model_dir is None:
+        tcfg = CLIPTextConfig.tiny()
+        vcfg_clip = CLIPVisionConfig.tiny(projection_dim=tcfg.hidden_size)
+        ucfg = UNet3DConfig.tiny(cross_attention_dim=tcfg.hidden_size)
+        vcfg = VAEConfig.tiny()
+        tok = HashTokenizer(tcfg.vocab_size)
+    else:
+        raise NotImplementedError(
+            "local i2vgen checkpoint conversion lands in a later round; "
+            "use --model_preset tiny"
+        )
+
+    text = CLIPTextModel(tcfg)
+    vision = CLIPVisionModel(vcfg_clip)
+    unet = UNet3DConditionModel(ucfg)
+    vae = AutoencoderKL(vcfg)
+
+    tparams = jax.jit(text.init)(key, jnp.zeros((1, 77), jnp.int32))["params"]
+    visparams = jax.jit(vision.init)(
+        jax.random.fold_in(key, 1),
+        jnp.zeros((1, vcfg_clip.image_size, vcfg_clip.image_size, 3)),
+    )["params"]
+    vparams = jax.jit(vae.init)(
+        jax.random.fold_in(key, 2), jnp.zeros((1, 16, 16, 3)), jax.random.PRNGKey(0)
+    )["params"]
+    f = opt.num_frames
+    latent_factor = 2 ** (len(vcfg.block_out_channels) - 1)
+    h, w = opt.height // latent_factor, opt.width // latent_factor
+    uparams = jax.jit(unet.init)(
+        jax.random.fold_in(key, 3),
+        jnp.zeros((1, f, h, w, 4)), jnp.int32(1),
+        jnp.zeros((1, 8, ucfg.cross_attention_dim)),
+        jnp.zeros((1, f, h, w, 4)),
+        jnp.zeros((1, 1, ucfg.cross_attention_dim)),
+        jnp.float32(8.0),
+    )["params"]
+
+    vcfg_run = VideoConfig(
+        n_timesteps=opt.n_timesteps, guidance_scale=opt.guidance_scale,
+        num_frames=f, height=opt.height, width=opt.width, fps=opt.fps,
+        injection_timestep=opt.injection_timestep, interp_ratio=opt.interp_ratio,
+        latent_factor=latent_factor,
+    )
+    pipe = I2VPipeline(vcfg_run, unet, uparams, vae, vparams)
+
+    # text conditioning
+    encode = jax.jit(lambda p, ids: text.apply({"params": p}, ids)[0])
+    ids_c = jnp.asarray(tok([opt.prompt]), jnp.int32)
+    ids_u = jnp.asarray(tok([opt.negative_prompt]), jnp.int32)
+    ctx_c = encode(tparams, ids_c)
+    ctx_u = encode(tparams, ids_u)
+
+    # image conditioning
+    img = Image.open(opt.image).convert("RGB").resize((opt.width, opt.height))
+    arr = jnp.asarray(np.asarray(img, np.float32) / 127.5 - 1.0)[None]
+    clip_in = jax.image.resize(
+        arr, (1, vcfg_clip.image_size, vcfg_clip.image_size, 3), "bilinear"
+    )
+    img_emb = vision.apply({"params": visparams}, clip_in)[:, None, :]
+
+    video = pipe.generate(ctx_c, ctx_u, arr, img_emb, seed=opt.seed)
+    os.makedirs(os.path.dirname(os.path.abspath(opt.output)), exist_ok=True)
+    export_gif(video, opt.output, fps=opt.fps)
+    print(f"saved {opt.output} ({video.shape[0]} frames)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -145,6 +145,71 @@ class CLIPTextModel(nn.Module):
         return penultimate, final, pooled
 
 
+@dataclasses.dataclass(frozen=True)
+class CLIPVisionConfig:
+    image_size: int = 224
+    patch_size: int = 14
+    hidden_size: int = 1024
+    intermediate_size: int = 4096
+    num_layers: int = 24
+    num_heads: int = 16
+    hidden_act: str = "quick_gelu"
+    projection_dim: Optional[int] = 1024
+    dtype: jnp.dtype = jnp.float32
+
+    @staticmethod
+    def tiny(**kw) -> "CLIPVisionConfig":
+        defaults = dict(image_size=32, patch_size=8, hidden_size=32,
+                        intermediate_size=64, num_layers=2, num_heads=2,
+                        projection_dim=32)
+        defaults.update(kw)
+        return CLIPVisionConfig(**defaults)
+
+
+class CLIPVisionModel(nn.Module):
+    """CLIP image tower → projected image embedding.
+
+    Used for the I2VGen-XL image conditioning
+    (``video_gen/pipeline_i2vgen_xl.py:300-330``): class-token pooled output
+    through ``visual_projection`` gives ``image_embeds``.
+    Input: [B, H, W, 3] normalized with CLIP stats.
+    """
+
+    config: CLIPVisionConfig
+
+    @nn.compact
+    def __call__(self, pixels: jnp.ndarray):
+        cfg = self.config
+        b = pixels.shape[0]
+        x = nn.Conv(
+            cfg.hidden_size, (cfg.patch_size, cfg.patch_size),
+            strides=(cfg.patch_size, cfg.patch_size), use_bias=False,
+            dtype=cfg.dtype, name="patch_embedding",
+        )(pixels.astype(cfg.dtype))
+        x = x.reshape(b, -1, cfg.hidden_size)
+        cls_tok = self.param("class_embedding", nn.initializers.normal(0.02),
+                             (cfg.hidden_size,), jnp.float32)
+        x = jnp.concatenate([jnp.tile(cls_tok[None, None], (b, 1, 1)).astype(cfg.dtype), x], axis=1)
+        n_pos = x.shape[1]
+        pos = self.param("position_embedding", nn.initializers.normal(0.02),
+                         (n_pos, cfg.hidden_size), jnp.float32)
+        x = x + pos.astype(cfg.dtype)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, name="pre_layrnorm")(x)
+        mask = jnp.ones((x.shape[1], x.shape[1]), bool)[None, None]  # non-causal
+        text_like = CLIPTextConfig(
+            hidden_size=cfg.hidden_size, intermediate_size=cfg.intermediate_size,
+            num_layers=cfg.num_layers, num_heads=cfg.num_heads,
+            hidden_act=cfg.hidden_act, dtype=cfg.dtype,
+        )
+        for i in range(cfg.num_layers):
+            x = CLIPEncoderLayer(text_like, name=f"layers_{i}")(x, mask)
+        pooled = nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, name="post_layernorm")(x[:, 0])
+        if cfg.projection_dim is not None:
+            pooled = nn.Dense(cfg.projection_dim, use_bias=False, dtype=cfg.dtype,
+                              name="visual_projection")(pooled)
+        return pooled
+
+
 # ---------------------------------------------------------------------------
 # modifier-token embedding surgery (pure param-tree functions)
 
