@@ -1,0 +1,128 @@
+"""Segmentation stage tests: SAM shapes/jit, detector contract, LangSAM
+predict, heuristic fallback, and the in-loop seg path through the CLI."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tweediemix_tpu.segmentation.detector import DetectorConfig, TextBoxDetector
+from tweediemix_tpu.segmentation.lang_sam import HeuristicSegmenter, LangSAM
+from tweediemix_tpu.segmentation.sam import SAM, SAMConfig, window_partition, window_unpartition
+
+
+def test_window_partition_roundtrip():
+    x = jnp.arange(2 * 8 * 8 * 3, dtype=jnp.float32).reshape(2, 8, 8, 3)
+    y = window_unpartition(window_partition(x, 4), 4, (8, 8))
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x))
+
+
+@pytest.fixture(scope="module")
+def tiny_sam():
+    cfg = SAMConfig.tiny()
+    model = SAM(cfg)
+    key = jax.random.PRNGKey(0)
+    img = jax.random.normal(key, (1, cfg.image_size, cfg.image_size, 3))
+    boxes = jnp.array([[0.1, 0.1, 0.6, 0.7], [0.3, 0.2, 0.9, 0.8]])
+    params = jax.jit(model.init)(key, img, boxes)["params"]
+    return cfg, model, params, img, boxes
+
+
+def test_sam_shapes(tiny_sam):
+    cfg, model, params, img, boxes = tiny_sam
+    masks, iou = jax.jit(lambda p, i, b: model.apply({"params": p}, i, b))(params, img, boxes)
+    g = cfg.grid
+    assert masks.shape == (2, 4 * g, 4 * g)
+    assert iou.shape == (2,)
+    assert bool(jnp.all(jnp.isfinite(masks)))
+
+
+def test_sam_box_sensitivity(tiny_sam):
+    cfg, model, params, img, boxes = tiny_sam
+    f = jax.jit(lambda p, i, b: model.apply({"params": p}, i, b)[0])
+    a = f(params, img, boxes)
+    b = f(params, img, boxes + 0.2)
+    assert float(jnp.max(jnp.abs(a - b))) > 1e-5  # prompts matter
+
+
+def test_detector_contract():
+    cfg = DetectorConfig.tiny()
+    det = TextBoxDetector(cfg)
+    key = jax.random.PRNGKey(1)
+    img = jax.random.normal(key, (1, cfg.vision.image_size, cfg.vision.image_size, 3))
+    ids = jnp.zeros((1, 16), jnp.int32).at[0, 3].set(999)
+    params = jax.jit(det.init)(key, img, ids)["params"]
+    boxes, scores = jax.jit(lambda p, i, t: det.apply({"params": p}, i, t))(params, img, ids)
+    assert boxes.shape == (cfg.max_boxes, 4)
+    assert scores.shape == (cfg.max_boxes,)
+    # xyxy in [0,1] and well-ordered
+    assert float(boxes.min()) >= 0.0 and float(boxes.max()) <= 1.0
+    assert bool(jnp.all(boxes[:, 2] >= boxes[:, 0]))
+    assert bool(jnp.all(boxes[:, 3] >= boxes[:, 1]))
+    # scores sorted descending (top_k)
+    assert bool(jnp.all(jnp.diff(scores) <= 1e-6))
+    # text-conditioned: different phrase → different scores
+    _, scores2 = det.apply({"params": params}, img, ids.at[0, 3].set(123))
+    assert float(jnp.max(jnp.abs(scores - scores2))) > 1e-7
+
+
+def test_lang_sam_predict():
+    ls = LangSAM.random_init(jax.random.PRNGKey(0))
+    img = jax.random.uniform(jax.random.PRNGKey(2), (96, 80, 3))
+    masks, boxes, scores, valid = ls.predict(img, "a cat")
+    assert masks.shape[1:] == (96, 80)
+    assert masks.dtype == jnp.bool_
+    assert boxes.shape[0] == masks.shape[0] == scores.shape[0]
+
+
+def test_heuristic_segmenter_partition():
+    seg = HeuristicSegmenter(2)
+    img = jnp.ones((1, 32, 48, 3))
+    m = seg(img)
+    assert m.shape == (2, 32, 48)
+    np.testing.assert_allclose(np.asarray(m.sum(0)), 1.0)  # exact partition
+
+
+def test_cli_with_inprocess_segmentation(tmp_path):
+    """Full no-mask-dir path: the sampler's boundary callback runs the
+    in-process segmenter (heuristic preset)."""
+    from tweediemix_tpu.cli.fusion_sampling import main
+
+    out = tmp_path / "out"
+    rc = main([
+        "--model_preset", "tiny",
+        "--prompt", "photo of a cat running+photo of a dog running+mountain background",
+        "--prompt_orig", "photo of a cat and a dog running",
+        "--concepts", "cat+dog+mountain",
+        "--modifier_token", "<cat1>+<dog1>+<mountain1>",
+        "--seg_concepts", "a cat+a dog",
+        "--seg_preset", "heuristic",
+        "--output_path", str(out),
+        "--n_timesteps", "6", "--t_cond", "0.34",
+        "--resampling_steps", "0", "--jumping_steps", "1",
+        "--guidance_scale", "0.8",
+        "--resolution_h", "128", "--resolution_w", "128",
+    ])
+    assert rc == 0
+    assert list(out.glob("*.png"))
+
+
+def test_cli_with_sam_random_segmentation(tmp_path):
+    from tweediemix_tpu.cli.fusion_sampling import main
+
+    out = tmp_path / "out"
+    rc = main([
+        "--model_preset", "tiny",
+        "--prompt", "a cat+a dog+bg",
+        "--prompt_orig", "a cat and a dog",
+        "--concepts", "cat+dog+bg",
+        "--modifier_token", "<a>+<b>+<c>",
+        "--seg_concepts", "a cat+a dog",
+        "--seg_preset", "sam-random",
+        "--output_path", str(out),
+        "--n_timesteps", "4", "--t_cond", "0.5",
+        "--resampling_steps", "0", "--jumping_steps", "0",
+        "--resolution_h", "128", "--resolution_w", "128",
+    ])
+    assert rc == 0
+    assert list(out.glob("*.png"))

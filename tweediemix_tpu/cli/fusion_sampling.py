@@ -55,6 +55,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="random-init preset for smoke runs (no weights needed)")
     p.add_argument("--mask_dir", type=str, default=None,
                    help="directory with precomputed '<seg_concept>.jpg' masks")
+    p.add_argument("--seg_preset", type=str, default="heuristic",
+                   choices=["heuristic", "sam-random", "sam"],
+                   help="in-process segmentation stage when no --mask_dir")
     p.add_argument("--num_seeds", type=int, default=1,
                    help="sample this many seeds (seed..seed+n-1) in one batch")
     return p
@@ -181,7 +184,7 @@ def main(argv=None) -> int:
         try:
             from tweediemix_tpu.segmentation import make_segment_fn
 
-            segment_fn = make_segment_fn(opt.seg_concepts, opt.output_path)
+            segment_fn = make_segment_fn(opt.seg_concepts, opt.output_path, opt.seg_preset)
         except Exception as e:  # segmentation model not available
             print(f"segmentation unavailable ({e}); supply --mask_dir", file=sys.stderr)
 

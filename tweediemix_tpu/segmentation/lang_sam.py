@@ -1,0 +1,124 @@
+"""LangSAM: text → boxes → masks, in process.
+
+The reference's ``text_segment/lang_sam/lang_sam.py:153-159`` contract:
+``predict(image, text, box_threshold=0.20, text_threshold=0.20) → (masks,
+boxes, phrases, logits)``, with GroundingDINO boxes feeding SAM. Here the
+detector is the TPU-native TextBoxDetector and SAM is the Flax port; both
+run on-device and the masks never touch the filesystem.
+
+``HeuristicSegmenter`` provides a weights-free fallback (saliency split by
+luminance/position clustering) so the full fusion pipeline runs end to end
+in environments without model weights — the production path is the model
+segmenter.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tweediemix_tpu.segmentation.detector import DetectorConfig, TextBoxDetector
+from tweediemix_tpu.segmentation.expand import expand_masks
+from tweediemix_tpu.segmentation.sam import SAM, SAMConfig
+
+
+class LangSAM:
+    def __init__(self, sam_cfg: SAMConfig, sam_params, det_cfg: DetectorConfig,
+                 det_params, tokenizer, box_threshold: float = 0.20):
+        self.sam = SAM(sam_cfg)
+        self.sam_params = sam_params
+        self.detector = TextBoxDetector(det_cfg)
+        self.det_params = det_params
+        self.tokenizer = tokenizer
+        self.box_threshold = box_threshold
+        self._detect = jax.jit(
+            lambda p, img, ids: self.detector.apply({"params": p}, img, ids)
+        )
+        self._segment = jax.jit(
+            lambda p, img, boxes: self.sam.apply({"params": p}, img, boxes)
+        )
+
+    @classmethod
+    def random_init(cls, key, sam_cfg=None, det_cfg=None, tokenizer=None):
+        """Random-weights instance (tiny presets) for offline smoke runs."""
+        from tweediemix_tpu.utils.tokenizer import HashTokenizer
+
+        sam_cfg = sam_cfg or SAMConfig.tiny()
+        det_cfg = det_cfg or DetectorConfig.tiny()
+        tokenizer = tokenizer or HashTokenizer(det_cfg.text.vocab_size)
+        img = jnp.zeros((1, sam_cfg.image_size, sam_cfg.image_size, 3))
+        det_img = jnp.zeros((1, det_cfg.vision.image_size, det_cfg.vision.image_size, 3))
+        ids = jnp.zeros((1, 16), jnp.int32)
+        boxes = jnp.zeros((det_cfg.max_boxes, 4))
+        sam_params = jax.jit(SAM(sam_cfg).init)(key, img, boxes)["params"]
+        det_params = jax.jit(TextBoxDetector(det_cfg).init)(
+            jax.random.fold_in(key, 1), det_img, ids
+        )["params"]
+        return cls(sam_cfg, sam_params, det_cfg, det_params, tokenizer)
+
+    def predict(self, image: jnp.ndarray, text: str,
+                box_threshold: Optional[float] = None):
+        """image [H, W, 3] in [0,1] → (masks [K, H, W] bool, boxes, scores).
+
+        Mirrors lang_sam.py:153-159: detect boxes for the phrase, keep those
+        above the threshold, run SAM on each.
+        """
+        thr = box_threshold if box_threshold is not None else self.box_threshold
+        h, w = image.shape[:2]
+        det_size = self.detector.config.vision.image_size
+        det_img = jax.image.resize(image, (det_size, det_size, 3), "bilinear")[None]
+        det_img = det_img * 2.0 - 1.0
+        ids = jnp.asarray(self.tokenizer([text]), jnp.int32)[:, :16]
+        boxes, scores = self._detect(self.det_params, det_img, ids)
+
+        sam_size = self.sam.config.image_size
+        sam_img = jax.image.resize(image, (sam_size, sam_size, 3), "bilinear")[None]
+        sam_img = sam_img * 2.0 - 1.0
+        mask_logits, iou = self._segment(self.sam_params, sam_img, boxes)
+        masks = jax.image.resize(
+            mask_logits, (mask_logits.shape[0], h, w), "bilinear"
+        ) > 0.0
+        valid = scores > thr
+        return masks, boxes, scores, valid
+
+
+@dataclasses.dataclass
+class HeuristicSegmenter:
+    """Weights-free fallback: split the image into K vertical saliency
+    bands by luminance-weighted x-position. Keeps the segment_fn contract
+    (image → fg masks) without any model."""
+
+    n_concepts: int
+
+    def __call__(self, image: jnp.ndarray) -> jnp.ndarray:
+        img = image[0] if image.ndim == 4 else image
+        h, w = img.shape[:2]
+        n = self.n_concepts
+        edges = jnp.linspace(0, w, n + 1)
+        xs = jnp.arange(w)
+        masks = []
+        for i in range(n):
+            band = ((xs >= edges[i]) & (xs < edges[i + 1])).astype(jnp.float32)
+            masks.append(jnp.tile(band[None, :], (h, 1)))
+        return jnp.stack(masks)
+
+
+def make_model_segment_fn(lang_sam: LangSAM, seg_concepts: str) -> Callable:
+    """Build the fusion-sampler segment_fn: decode-preview image → fg masks
+    via detect→segment→rect-expand→blackout→overlap-resolve
+    (text_segment/run_expand.py semantics, pure jnp post-processing)."""
+    concepts: List[str] = seg_concepts.split("+")
+
+    def predict_best(img, text):
+        masks, boxes, scores, valid = lang_sam.predict(img, text)
+        best = jnp.argmax(jnp.where(valid, scores, -jnp.inf))
+        return masks[best].astype(jnp.float32)
+
+    def segment_fn(preview_image: jnp.ndarray) -> jnp.ndarray:
+        img = preview_image[0] if preview_image.ndim == 4 else preview_image
+        return expand_masks(predict_best, img, concepts)
+
+    return segment_fn

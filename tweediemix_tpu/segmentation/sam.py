@@ -1,0 +1,307 @@
+"""Flax SAM (Segment Anything) — image encoder, prompt encoder, mask decoder.
+
+TPU rebuild of the reference's SAM ViT-H stage (``text_segment/lang_sam/
+lang_sam.py:63-87,121-131``: box-prompted mask prediction on a second GPU).
+The structure follows segment-anything's three-part design:
+
+* ``SAMImageEncoder``: ViT over 16x16 patches with absolute positional
+  embeddings and optional window attention, then a conv neck to 256-d
+  feature maps. (Deviation from upstream ViT-H: decomposed relative
+  position biases are not implemented yet — weight conversion of upstream
+  checkpoints needs that pass; masks from randomly initialized or
+  natively trained weights are unaffected.)
+* ``SAMPromptEncoder``: random-Fourier positional encoding; a box becomes
+  two corner points with learned corner embeddings (sparse prompts).
+* ``SAMMaskDecoder``: two-way transformer (token self-attn, token→image
+  cross-attn, MLP, image→token cross-attn) with mask + IoU tokens,
+  2x-upscaling deconvs and a hypernetwork head.
+
+Everything is jittable with static shapes: boxes arrive as a fixed-size
+array, masks return at image resolution via bilinear resize.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tweediemix_tpu.ops.attention import multi_head_attention
+
+
+@dataclasses.dataclass(frozen=True)
+class SAMConfig:
+    image_size: int = 1024
+    patch_size: int = 16
+    encoder_dim: int = 1280  # ViT-H
+    encoder_layers: int = 32
+    encoder_heads: int = 16
+    window_size: int = 14
+    global_attn_indexes: Tuple[int, ...] = (7, 15, 23, 31)
+    prompt_dim: int = 256
+    decoder_layers: int = 2
+    decoder_heads: int = 8
+    num_mask_tokens: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def grid(self) -> int:
+        return self.image_size // self.patch_size
+
+    @staticmethod
+    def vit_h(**kw) -> "SAMConfig":
+        return SAMConfig(**kw)
+
+    @staticmethod
+    def tiny(**kw) -> "SAMConfig":
+        defaults = dict(
+            image_size=64, patch_size=8, encoder_dim=32, encoder_layers=2,
+            encoder_heads=2, window_size=4, global_attn_indexes=(1,),
+            prompt_dim=16, decoder_heads=2,
+        )
+        defaults.update(kw)
+        return SAMConfig(**defaults)
+
+
+def window_partition(x, win: int):
+    """[B, H, W, C] → [B*nw, win, win, C] (H, W divisible by win)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // win, win, w // win, win, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, win, win, c)
+
+
+def window_unpartition(x, win: int, hw: Tuple[int, int]):
+    h, w = hw
+    b = x.shape[0] // (h // win * w // win)
+    x = x.reshape(b, h // win, w // win, win, win, -1)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h, w, -1)
+
+
+class ViTBlock(nn.Module):
+    dim: int
+    heads: int
+    window_size: int  # 0 = global attention
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # [B, H, W, C]
+        b, h, w, c = x.shape
+        res = x
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        if self.window_size > 0:
+            x = window_partition(x, self.window_size)
+        tokens = x.reshape(x.shape[0], -1, c)
+        qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(tokens)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        o = multi_head_attention(q, k, v, self.heads)
+        o = nn.Dense(c, dtype=self.dtype, name="proj")(o)
+        o = o.reshape(x.shape)
+        if self.window_size > 0:
+            o = window_unpartition(o, self.window_size, (h, w))
+        x = res + o
+        res = x
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        x = nn.Dense(4 * c, dtype=self.dtype, name="mlp_lin1")(x)
+        x = jax.nn.gelu(x, approximate=False)
+        x = nn.Dense(c, dtype=self.dtype, name="mlp_lin2")(x)
+        return res + x
+
+
+class SAMImageEncoder(nn.Module):
+    config: SAMConfig
+
+    @nn.compact
+    def __call__(self, pixels):  # [B, S, S, 3] normalized
+        cfg = self.config
+        g = cfg.grid
+        x = nn.Conv(
+            cfg.encoder_dim, (cfg.patch_size, cfg.patch_size),
+            strides=(cfg.patch_size, cfg.patch_size), dtype=cfg.dtype,
+            name="patch_embed",
+        )(pixels.astype(cfg.dtype))
+        pos = self.param("pos_embed", nn.initializers.normal(0.02),
+                         (1, g, g, cfg.encoder_dim), jnp.float32)
+        x = x + pos.astype(cfg.dtype)
+        for i in range(cfg.encoder_layers):
+            win = 0 if i in cfg.global_attn_indexes else cfg.window_size
+            x = ViTBlock(cfg.encoder_dim, cfg.encoder_heads, win, cfg.dtype,
+                         name=f"blocks_{i}")(x)
+        # neck → prompt_dim channels
+        x = nn.Conv(cfg.prompt_dim, (1, 1), use_bias=False, dtype=cfg.dtype, name="neck_conv1")(x)
+        x = nn.LayerNorm(epsilon=1e-6, dtype=cfg.dtype, name="neck_norm1")(x)
+        x = nn.Conv(cfg.prompt_dim, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
+                    dtype=cfg.dtype, name="neck_conv2")(x)
+        x = nn.LayerNorm(epsilon=1e-6, dtype=cfg.dtype, name="neck_norm2")(x)
+        return x  # [B, g, g, prompt_dim]
+
+
+class SAMPromptEncoder(nn.Module):
+    config: SAMConfig
+
+    def fourier(self, coords):  # coords in [0,1], [..., 2]
+        mat = self.param("pe_gaussian", nn.initializers.normal(1.0),
+                         (2, self.config.prompt_dim // 2), jnp.float32)
+        proj = (2.0 * coords - 1.0) @ mat * (2 * np.pi)
+        return jnp.concatenate([jnp.sin(proj), jnp.cos(proj)], axis=-1)
+
+    @nn.compact
+    def __call__(self, boxes):  # [B, 4] xyxy in [0,1]
+        cfg = self.config
+        corners = boxes.reshape(-1, 2, 2)  # two corner points
+        pe = self.fourier(corners)  # [B, 2, D]
+        corner_emb = self.param("corner_embed", nn.initializers.normal(0.02),
+                                (2, cfg.prompt_dim), jnp.float32)
+        return pe + corner_emb[None]
+
+    @nn.compact
+    def dense_pe(self, grid: int):
+        """Positional encoding of the image grid for the decoder."""
+        coords = (jnp.stack(
+            jnp.meshgrid(jnp.arange(grid), jnp.arange(grid), indexing="xy"), -1
+        ) + 0.5) / grid
+        return self.fourier(coords)  # [g, g, D]
+
+
+class TwoWayBlock(nn.Module):
+    dim: int
+    heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, tokens, image, token_pe, image_pe, first: bool):
+        # token self-attention
+        q = tokens + (0.0 if first else token_pe)
+        attn = multi_head_attention(
+            nn.Dense(self.dim, dtype=self.dtype, name="self_q")(q),
+            nn.Dense(self.dim, dtype=self.dtype, name="self_k")(q),
+            nn.Dense(self.dim, dtype=self.dtype, name="self_v")(tokens),
+            self.heads,
+        )
+        tokens = nn.LayerNorm(dtype=self.dtype, name="norm1")(tokens + nn.Dense(
+            self.dim, dtype=self.dtype, name="self_o")(attn))
+        # token → image cross-attention
+        q = tokens + token_pe
+        k = image + image_pe
+        attn = multi_head_attention(
+            nn.Dense(self.dim, dtype=self.dtype, name="t2i_q")(q),
+            nn.Dense(self.dim, dtype=self.dtype, name="t2i_k")(k),
+            nn.Dense(self.dim, dtype=self.dtype, name="t2i_v")(image),
+            self.heads,
+        )
+        tokens = nn.LayerNorm(dtype=self.dtype, name="norm2")(tokens + nn.Dense(
+            self.dim, dtype=self.dtype, name="t2i_o")(attn))
+        # MLP
+        h = nn.Dense(self.dim * 8, dtype=self.dtype, name="mlp_lin1")(tokens)
+        h = nn.relu(h)
+        tokens = nn.LayerNorm(dtype=self.dtype, name="norm3")(
+            tokens + nn.Dense(self.dim, dtype=self.dtype, name="mlp_lin2")(h))
+        # image → token cross-attention
+        q = image + image_pe
+        k = tokens + token_pe
+        attn = multi_head_attention(
+            nn.Dense(self.dim, dtype=self.dtype, name="i2t_q")(q),
+            nn.Dense(self.dim, dtype=self.dtype, name="i2t_k")(k),
+            nn.Dense(self.dim, dtype=self.dtype, name="i2t_v")(tokens),
+            self.heads,
+        )
+        image = nn.LayerNorm(dtype=self.dtype, name="norm4")(image + nn.Dense(
+            self.dim, dtype=self.dtype, name="i2t_o")(attn))
+        return tokens, image
+
+
+class SAMMaskDecoder(nn.Module):
+    config: SAMConfig
+
+    @nn.compact
+    def __call__(self, image_feats, image_pe, sparse_prompts):
+        """image_feats [B, g, g, D], image_pe [g, g, D], sparse [B, P, D]
+        → (masks [B, M, 4g, 4g] logits, iou [B, M])."""
+        cfg = self.config
+        b, g, _, d = image_feats.shape
+        m = cfg.num_mask_tokens
+        out_tokens = self.param("mask_tokens", nn.initializers.normal(0.02),
+                                (1 + m, d), jnp.float32)  # iou + mask tokens
+        tokens = jnp.concatenate(
+            [jnp.tile(out_tokens[None], (b, 1, 1)).astype(image_feats.dtype), sparse_prompts],
+            axis=1,
+        )
+        image = image_feats.reshape(b, g * g, d)
+        img_pe = jnp.tile(image_pe.reshape(1, g * g, d), (b, 1, 1))
+        tok_pe = tokens  # SAM uses the initial tokens as their own PE
+
+        for i in range(cfg.decoder_layers):
+            tokens, image = TwoWayBlock(d, cfg.decoder_heads, cfg.dtype,
+                                        name=f"layers_{i}")(tokens, image, tok_pe, img_pe, i == 0)
+        # final token→image attention
+        q = tokens + tok_pe
+        k = image + img_pe
+        attn = multi_head_attention(
+            nn.Dense(d, dtype=cfg.dtype, name="final_q")(q),
+            nn.Dense(d, dtype=cfg.dtype, name="final_k")(k),
+            nn.Dense(d, dtype=cfg.dtype, name="final_v")(image),
+            cfg.decoder_heads,
+        )
+        tokens = nn.LayerNorm(dtype=cfg.dtype, name="final_norm")(
+            tokens + nn.Dense(d, dtype=cfg.dtype, name="final_o")(attn))
+
+        iou_token, mask_tokens = tokens[:, 0], tokens[:, 1 : 1 + m]
+
+        # upscale image features 4x
+        img = image.reshape(b, g, g, d)
+        img = nn.ConvTranspose(d // 4, (2, 2), strides=(2, 2), dtype=cfg.dtype, name="up1")(img)
+        img = nn.LayerNorm(epsilon=1e-6, dtype=cfg.dtype, name="up_norm")(img)
+        img = jax.nn.gelu(img, approximate=False)
+        img = nn.ConvTranspose(d // 8, (2, 2), strides=(2, 2), dtype=cfg.dtype, name="up2")(img)
+        img = jax.nn.gelu(img, approximate=False)  # [B, 4g, 4g, d/8]
+
+        # hypernetwork: per mask token → d/8 weights
+        hyper = []
+        for i in range(m):
+            h = mask_tokens[:, i]
+            for j, width in enumerate([d, d, d // 8]):
+                h = nn.Dense(width, dtype=cfg.dtype, name=f"hyper_{i}_lin{j}")(h)
+                if j < 2:
+                    h = nn.relu(h)
+            hyper.append(h)
+        hyper = jnp.stack(hyper, axis=1)  # [B, M, d/8]
+        masks = jnp.einsum("bmd,bhwd->bmhw", hyper, img)
+
+        iou = iou_token
+        for j, width in enumerate([d, d, m]):
+            iou = nn.Dense(width, dtype=cfg.dtype, name=f"iou_lin{j}")(iou)
+            if j < 2:
+                iou = nn.relu(iou)
+        return masks, iou
+
+
+class SAM(nn.Module):
+    """Box-prompted segmentation: (image, boxes) → best mask per box."""
+
+    config: SAMConfig
+
+    def setup(self):
+        self.image_encoder = SAMImageEncoder(self.config, name="image_encoder")
+        self.prompt_encoder = SAMPromptEncoder(self.config, name="prompt_encoder")
+        self.mask_decoder = SAMMaskDecoder(self.config, name="mask_decoder")
+
+    def encode_image(self, pixels):
+        return self.image_encoder(pixels)
+
+    def decode_boxes(self, image_feats, boxes):
+        """image_feats [1, g, g, D], boxes [N, 4] xyxy in [0,1] →
+        (mask logits [N, 4g, 4g], iou [N]) taking the best-IoU mask."""
+        g = image_feats.shape[1]
+        sparse = self.prompt_encoder(boxes)  # [N, 2, D]
+        image_pe = self.prompt_encoder.dense_pe(g)
+        feats = jnp.tile(image_feats, (boxes.shape[0], 1, 1, 1))
+        masks, iou = self.mask_decoder(feats, image_pe, sparse)
+        best = jnp.argmax(iou, axis=1)
+        return masks[jnp.arange(masks.shape[0]), best], jnp.max(iou, axis=1)
+
+    def __call__(self, pixels, boxes):
+        feats = self.encode_image(pixels)
+        return self.decode_boxes(feats, boxes)
