@@ -217,3 +217,44 @@ def test_precomputed_masks_path():
     out = sampler.run(embeds, jax.random.fold_in(key, 2), fg_masks=fg)
     assert out.shape == (1, H, W, 4)
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_seed_batched_rows_match_single_runs():
+    """num_seeds>1 batches independent trajectories: row s of the batched
+    phases must equal the single-seed phases run on that row alone (the
+    mock UNet is row-local, so this is near-exact)."""
+    cfg = FusionConfig(n_timesteps=10, num_concepts=N, height=H * 8, width=W * 8,
+                       resampling_steps=2, jumping_steps=2)
+    table = DDIMTable.create(n_steps=cfg.n_timesteps)
+    key = jax.random.PRNGKey(5)
+    embeds = make_embeds(jax.random.fold_in(key, 1))
+    sampler = FusionSampler(table, cfg, mock_unet)
+    fg = jnp.zeros((N - 1, H * 8, W * 8)).at[0, :, : W * 4].set(1.0).at[1, :, W * 4 :].set(1.0)
+    masks = sampler.compute_masks(None, fg)
+
+    x0 = sampler.init_latent(jax.random.fold_in(key, 2), num_seeds=3)
+
+    def run_from(x):
+        x, _ = sampler.prologue(None, embeds, x)
+        x, _ = sampler.joint_scan(None, embeds, x, 1, cfg.t_cond_idx)
+        x = sampler.fused_scan(None, embeds, x, masks, cfg.t_cond_idx, cfg.n_timesteps)
+        return x
+
+    batched = run_from(x0)
+    assert batched.shape == (3, H, W, 4)
+    for s in range(3):
+        single = run_from(x0[s : s + 1])
+        np.testing.assert_allclose(
+            np.asarray(batched[s : s + 1]), np.asarray(single), rtol=1e-4, atol=1e-5,
+            err_msg=f"seed row {s}",
+        )
+
+
+def test_init_latent_rows_independent_of_batch():
+    cfg = FusionConfig(n_timesteps=10, num_concepts=N, height=H * 8, width=W * 8)
+    table = DDIMTable.create(n_steps=cfg.n_timesteps)
+    sampler = FusionSampler(table, cfg, mock_unet)
+    key = jax.random.PRNGKey(9)
+    a = sampler.init_latent(key, num_seeds=1)
+    b = sampler.init_latent(key, num_seeds=4)
+    np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]), rtol=1e-6)

@@ -58,6 +58,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seg_preset", type=str, default="heuristic",
                    choices=["heuristic", "sam-random", "sam"],
                    help="in-process segmentation stage when no --mask_dir")
+    p.add_argument("--profile", type=str, default=None,
+                   help="directory for a jax.profiler trace + phase timings")
     p.add_argument("--num_seeds", type=int, default=1,
                    help="sample this many seeds (seed..seed+n-1) in one batch")
     return p
@@ -214,11 +216,21 @@ def main(argv=None) -> int:
             opt.mask_dir, opt.seg_concepts, opt.resolution_h, opt.resolution_w
         )
 
-    for seed in range(opt.seed, opt.seed + opt.num_seeds):
-        img = pipe.sample(embeds, seed=seed, fg_masks=fg_masks)
-        path = os.path.join(out_all, f"{opt.prompt_orig}_{seed}.png")
-        save_image(img, path)
-        print(f"saved {path}")
+    from tweediemix_tpu.utils.profiling import PhaseTimer, trace
+    import contextlib
+
+    timer = PhaseTimer()
+    prof_ctx = trace(opt.profile) if opt.profile else contextlib.nullcontext()
+    with prof_ctx:
+        with timer.phase(f"sample_{opt.num_seeds}_seeds"):
+            imgs = pipe.sample(embeds, seed=opt.seed, fg_masks=fg_masks,
+                               num_seeds=opt.num_seeds)
+        for i in range(imgs.shape[0]):
+            path = os.path.join(out_all, f"{opt.prompt_orig}_{opt.seed + i}.png")
+            save_image(imgs[i : i + 1], path)
+            print(f"saved {path}")
+    if opt.profile:
+        timer.dump(os.path.join(opt.profile, "phase_timings.json"))
     return 0
 
 

@@ -1,0 +1,51 @@
+"""Standalone text-guided mask extraction CLI — ``text_segment/
+run_expand.py`` parity.
+
+For each ``+``-separated concept: predict its mask, rectangular-expand,
+black out before the next concept, resolve pairwise overlap, and save
+``<concept>.jpg`` masks into ``--output_path`` (the exact file contract the
+reference sampler consumes, ``run_expand.py:7-87``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input_path", type=str, required=True)
+    p.add_argument("--text_condition", type=str, required=True, help="'+'-separated concepts")
+    p.add_argument("--output_path", type=str, required=True)
+    p.add_argument("--seg_preset", type=str, default="sam-random",
+                   choices=["heuristic", "sam-random", "sam"])
+    return p
+
+
+def main(argv=None) -> int:
+    opt = build_parser().parse_args(argv)
+    os.makedirs(opt.output_path, exist_ok=True)
+
+    import jax.numpy as jnp
+    import numpy as np
+    from PIL import Image
+
+    from tweediemix_tpu.segmentation import make_segment_fn
+
+    img = Image.open(opt.input_path).convert("RGB")
+    arr = jnp.asarray(np.asarray(img, np.float32) / 255.0)
+
+    seg = make_segment_fn(opt.text_condition, opt.output_path, opt.seg_preset)
+    masks = seg(arr[None]) if opt.seg_preset == "heuristic" else seg(arr)
+
+    for name, m in zip(opt.text_condition.split("+"), masks):
+        out = Image.fromarray(np.asarray(m * 255.0, np.uint8))
+        out.save(os.path.join(opt.output_path, f"{name}.jpg"))
+        print(f"saved {os.path.join(opt.output_path, name + '.jpg')}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

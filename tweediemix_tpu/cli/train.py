@@ -54,7 +54,8 @@ def build_parser():
     p.add_argument("--initializer_token", type=str, default="ktn+pll+ucd")
     p.add_argument("--hflip", action="store_true")
     p.add_argument("--resume_step", type=int, default=None)
-    p.add_argument("--report_to", type=str, default="none")
+    p.add_argument("--report_to", type=str, default="none",
+                   help="'none' or a directory for JSONL/TensorBoard metrics")
     return p
 
 
@@ -243,6 +244,10 @@ def main(argv=None) -> int:
 
     encode = jax.jit(encode_fn)
 
+    from tweediemix_tpu.utils.logging import MetricsLogger
+
+    logger = MetricsLogger(None if opt.report_to == "none" else opt.report_to)
+
     # state.step counts micro (accumulation) steps; user-facing step counts,
     # save cadence, and checkpoint names are in optimizer steps like the
     # reference's global_step (diffusers_training_xl_new.py:1071-1098)
@@ -258,6 +263,7 @@ def main(argv=None) -> int:
         state, metrics = train_step(state, batch, rng)
         opt_step, at_boundary = divmod(int(state.step), accum)
         if at_boundary == 0:
+            logger.log(opt_step, {k: float(v) for k, v in metrics.items()})
             if opt_step % 10 == 1 or opt_step == opt.max_train_steps:
                 print(f"step {opt_step}: loss {float(metrics['loss']):.4f}")
             if opt_step > start_opt_step and opt_step % opt.save_steps == 0:
@@ -270,6 +276,7 @@ def main(argv=None) -> int:
     final = os.path.join(opt.output_dir, f"delta-{final_step}.bin")
     save_delta_checkpoint(final, state, mask, modifier_tokens, ids1, ids2)
     print(f"saved {final}")
+    logger.close()
     return 0
 
 

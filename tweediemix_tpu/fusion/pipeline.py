@@ -63,6 +63,7 @@ class TweedieMixPipeline:
     fusion_config: FusionConfig
     table: DDIMTable
     segment_fn: Optional[object] = None
+    _sampler: Optional[object] = None  # cached FusionSampler (compile reuse)
 
     # -- construction ---------------------------------------------------------
 
@@ -208,18 +209,26 @@ class TweedieMixPipeline:
         embeds: TextEmbeds,
         seed: int = 0,
         fg_masks=None,
+        num_seeds: int = 1,
     ):
-        """Run the fusion trajectory and decode. Returns [1,H,W,3] in [0,1]."""
-        sampler = FusionSampler(
-            self.table,
-            self.fusion_config,
-            self._unet_fn(),
-            unet_params=self.unet_params,
-            decode_preview_fn=self.decode_preview,
-            segment_fn=self.segment_fn,
+        """Run the fusion trajectory and decode. Returns [S,H,W,3] in [0,1].
+
+        ``num_seeds`` > 1 batches independent seeds through every UNet
+        forward (one compiled trajectory, S images)."""
+        if self._sampler is None:
+            self._sampler = FusionSampler(
+                self.table,
+                self.fusion_config,
+                self._unet_fn(),
+                unet_params=self.unet_params,
+                decode_preview_fn=self.decode_preview,
+                segment_fn=self.segment_fn,
+            )
+        x = self._sampler.run(
+            embeds, jax.random.PRNGKey(seed), fg_masks=fg_masks, num_seeds=num_seeds
         )
-        x = sampler.run(embeds, jax.random.PRNGKey(seed), fg_masks=fg_masks)
-        return self.decode_final(x)
+        imgs = [self.decode_final(x[s : s + 1]) for s in range(x.shape[0])]
+        return jnp.concatenate(imgs, axis=0)
 
 
 def save_image(img, path: str):

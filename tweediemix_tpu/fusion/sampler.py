@@ -116,20 +116,33 @@ class FusionSampler:
 
     # -- helpers -----------------------------------------------------------
 
+    # Throughout, ``x`` carries a leading seed axis [S, h, w, 4] (S >= 1):
+    # the "8 seeds in parallel" serving layout. Prompt-embedding rows are
+    # repeated per seed so UNet row k*S+s pairs embed-row k with seed s, and
+    # eps group k is eps[k*S:(k+1)*S].
+
     def _joint_eps(self, params, embeds: TextEmbeds, x, t):
+        s = x.shape[0]
         xin = jnp.concatenate([x, x], axis=0)
         eps = self.unet_fn(
-            params, xin, t, embeds.joint_ctx, embeds.joint_pooled,
-            jnp.zeros((2,), jnp.int32),
+            params, xin, t,
+            jnp.repeat(embeds.joint_ctx, s, axis=0),
+            jnp.repeat(embeds.joint_pooled, s, axis=0),
+            jnp.zeros((2 * s,), jnp.int32),
         )
-        return eps[0:1], eps[1:2]
+        return eps[:s], eps[s:]
 
     def _prologue_eps(self, params, embeds: TextEmbeds, x, t):
         n = self.config.num_concepts
+        s = x.shape[0]
         ctx = jnp.concatenate([embeds.joint_ctx, embeds.single_ctx], axis=0)
         pooled = jnp.concatenate([embeds.joint_pooled, embeds.single_pooled], axis=0)
         xin = jnp.concatenate([x] * (n + 1), axis=0)
-        return self.unet_fn(params, xin, t, ctx, pooled, jnp.zeros((n + 1,), jnp.int32))
+        return self.unet_fn(
+            params, xin, t,
+            jnp.repeat(ctx, s, axis=0), jnp.repeat(pooled, s, axis=0),
+            jnp.zeros(((n + 1) * s,), jnp.int32),
+        )
 
     # -- phases ------------------------------------------------------------
 
@@ -144,13 +157,15 @@ class FusionSampler:
 
         eps = self._prologue_eps(params, embeds, x, t)
 
+        s = x.shape[0]
+
         def resample(carry, _):
             x, eps = carry
-            eps_u = eps[0:1]
-            eps_m = cfg_combine(eps_u, eps[1:2], g)
+            eps_u = eps[:s]
+            eps_m = cfg_combine(eps_u, eps[s : 2 * s], g)
             x0 = (n - 1) * tbl.tweedie(x, eps_m, at)
             for cc in range(n - 1):
-                eps_s = cfg_combine(eps_u, eps[2 + cc : 3 + cc], g)
+                eps_s = cfg_combine(eps_u, eps[(2 + cc) * s : (3 + cc) * s], g)
                 x0 = x0 - tbl.tweedie(x, eps_s, at)
             x_next = tbl.renoise(x0, eps_u, at_next)
             eu2, ec2 = self._joint_eps(params, embeds, x_next, t - tbl.skip)
@@ -163,8 +178,8 @@ class FusionSampler:
         if cfg.resampling_steps > 0:
             (x, eps), _ = jax.lax.scan(resample, (x, eps), None, length=cfg.resampling_steps)
 
-        eps_u = eps[0:1]
-        eps_j = cfg_combine(eps_u, eps[1:2], g)
+        eps_u = eps[:s]
+        eps_j = cfg_combine(eps_u, eps[s : 2 * s], g)
         x0 = tbl.tweedie(x, eps_j, at)
         return tbl.renoise(x0, eps_u, at_next), x0
 
@@ -228,18 +243,28 @@ class FusionSampler:
             return x
         ts = tbl.timesteps[start:stop]
         is_final = jnp.arange(start, stop) == (cfg.n_timesteps - 1)
-        concept_idx = jnp.arange(n + 1, dtype=jnp.int32)  # row 0 = base/uncond
-        m = masks[..., None]  # [N, h, w, 1] for NHWC broadcasting
+        s = x.shape[0]
+        concept_idx = jnp.repeat(jnp.arange(n + 1, dtype=jnp.int32), s)
+        # masks: [N, h, w] (shared) or [S, N, h, w] (per-seed)
+        if masks.ndim == 3:
+            m = masks[:, None, :, :, None]  # [N, 1, h, w, 1]
+        else:
+            m = masks.transpose(1, 0, 2, 3)[..., None]  # [N, S, h, w, 1]
 
         def step(x, inp):
             t, final = inp
             xin = jnp.concatenate([x] * (n + 1), axis=0)
-            eps = self.unet_fn(params, xin, t, embeds.concept_ctx, embeds.concept_pooled, concept_idx)
-            eps_u = eps[0:1]
+            eps = self.unet_fn(
+                params, xin, t,
+                jnp.repeat(embeds.concept_ctx, s, axis=0),
+                jnp.repeat(embeds.concept_pooled, s, axis=0),
+                concept_idx,
+            )
+            eps_u = eps[:s]
             at = tbl.alpha(t)
-            eps_cc = cfg_combine(eps_u, eps[1:], cfg.guidance_scale)  # [N, ...]
-            x0_cc = tbl.tweedie(x, eps_cc, at)  # broadcasts [1,...] with [N,...]
-            x0 = jnp.sum(m * x0_cc, axis=0, keepdims=True)
+            eps_cc = cfg_combine(eps_u, eps[s:].reshape(n, s, *x.shape[1:]), cfg.guidance_scale)
+            x0_cc = tbl.tweedie(x[None], eps_cc, at)  # [N, S, h, w, 4]
+            x0 = jnp.sum(m * x0_cc, axis=0)  # [S, h, w, 4]
             x_next = tbl.renoise(x0, eps_u, tbl.alpha(t - tbl.skip))
             x_next = jnp.where(final, x0, x_next)
             return x_next, None
@@ -249,23 +274,27 @@ class FusionSampler:
 
     # -- end to end ---------------------------------------------------------
 
-    def init_latent(self, key):
+    def init_latent(self, key, num_seeds: int = 1):
+        """[S, h, w, 4]; each seed row from an independent fold of ``key``
+        so row s is reproducible regardless of batch size."""
         h, w = self.config.latent_hw
-        return (
-            jax.random.normal(key, (1, h, w, 4), jnp.float32)
-            * self.table.init_noise_sigma
-        )
+        keys = jax.random.split(key, num_seeds)
+        rows = [jax.random.normal(k, (h, w, 4), jnp.float32) for k in keys]
+        return jnp.stack(rows) * self.table.init_noise_sigma
 
-    def run(self, embeds: TextEmbeds, key, fg_masks: Optional[jnp.ndarray] = None):
+    def run(self, embeds: TextEmbeds, key, fg_masks: Optional[jnp.ndarray] = None,
+            num_seeds: int = 1):
         """Full trajectory. ``fg_masks`` (image-res [N-1, H, W]) may be
         supplied to skip the in-loop segmentation (the reference's
         precomputed-mask path via mask JPGs, fusion_sampling.py:461-466).
+        ``num_seeds`` > 1 samples that many seeds batched through every
+        forward (the v5e-8 "seeds in parallel" serving config).
 
-        Returns the final latent x0 (pre-VAE-decode, still scaled).
+        Returns the final latent x0 [S, h, w, 4] (pre-VAE-decode).
         """
         cfg = self.config
         params = self.unet_params
-        x = self.init_latent(key)
+        x = self.init_latent(key, num_seeds)
         x, x0 = self._jit_prologue(params, embeds, x)
         x, x0_last = self._jit_joint(params, embeds, x, start=1, stop=cfg.t_cond_idx)
         if x0_last is None:
@@ -289,17 +318,22 @@ class FusionSampler:
         return x
 
     def compute_masks(self, preview_x0, fg_masks: Optional[jnp.ndarray]):
-        """Region masks [N, h, w]: from supplied fg masks, or by decoding the
-        preview and running the segmentation stage (fusion_sampling.py:453-469)."""
+        """Region masks: [N, h, w] shared across seeds (precomputed path) or
+        [S, N, h, w] per seed (in-loop segmentation of each seed's preview —
+        fusion_sampling.py:453-469)."""
         cfg = self.config
         h, w = cfg.latent_hw
-        if fg_masks is None:
-            if self.decode_preview_fn is None or self.segment_fn is None:
-                raise ValueError(
-                    "no fg_masks supplied and no decode/segment fns configured"
-                )
-            preview_img = self.decode_preview_fn(preview_x0)
-            fg_masks = self.segment_fn(preview_img)
-        fg_masks = jnp.asarray(fg_masks)
-        assert fg_masks.shape[0] == cfg.num_concepts - 1, fg_masks.shape
-        return build_region_masks(fg_masks, h, w)
+        if fg_masks is not None:
+            fg_masks = jnp.asarray(fg_masks)
+            assert fg_masks.shape[0] == cfg.num_concepts - 1, fg_masks.shape
+            return build_region_masks(fg_masks, h, w)
+        if self.decode_preview_fn is None or self.segment_fn is None:
+            raise ValueError("no fg_masks supplied and no decode/segment fns configured")
+        per_seed = []
+        for si in range(preview_x0.shape[0]):
+            preview_img = self.decode_preview_fn(preview_x0[si : si + 1])
+            fg = jnp.asarray(self.segment_fn(preview_img))
+            assert fg.shape[0] == cfg.num_concepts - 1, fg.shape
+            per_seed.append(build_region_masks(fg, h, w))
+        masks = jnp.stack(per_seed)  # [S, N, h, w]
+        return masks[0] if masks.shape[0] == 1 else masks

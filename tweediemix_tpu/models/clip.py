@@ -243,6 +243,16 @@ def set_token_embedding_rows(params, rows: dict):
     return traverse_util.unflatten_dict(flat)
 
 
+def nearest_tokens(embed, embedding_table, top_k: int = 1):
+    """Dot-score nearest vocabulary rows for an embedding — the ``find_disc``
+    debug probe (fusion_sampling.py:244-264 /
+    diffusers_model_pipeline_xl_new.py:281-314, sans sentence-transformers).
+    Returns (ids [top_k], scores [top_k])."""
+    scores = jnp.asarray(embedding_table, jnp.float32) @ jnp.asarray(embed, jnp.float32)
+    top = jax.lax.top_k(scores, top_k)
+    return top[1], top[0]
+
+
 # ---------------------------------------------------------------------------
 # dual-encoder SDXL text stack
 
