@@ -232,3 +232,40 @@ def test_train_then_sample_cli_end_to_end(tmp_path, image_dirs):
     ])
     assert rc == 0
     assert list(sample_out.glob("*.png"))
+
+
+def test_class_image_generation(tmp_path):
+    """generate_class_images writes decodable PNGs (reference
+    diffusers_training_xl_new.py:561-600 path)."""
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from tweediemix_tpu.models.unet2d import UNet2DConditionModel, UNetConfig
+    from tweediemix_tpu.training.class_gen import generate_class_images
+
+    cfg = UNetConfig.micro()
+    unet = UNet2DConditionModel(cfg)
+    key = jax.random.PRNGKey(0)
+    h = 8
+    params = jax.jit(unet.init)(
+        key, jnp.zeros((2, h, h, 4)), jnp.int32(1),
+        jnp.zeros((2, 8, cfg.cross_attention_dim)),
+        jnp.zeros((2, cfg.pooled_projection_dim)), jnp.zeros((2, 6)),
+    )["params"]
+    tids = jnp.array([[64, 64, 0, 0, 64, 64]], jnp.float32)
+
+    def unet_fn(p, x, t, cx, pl, idx):
+        return unet.apply({"params": p}, x, t, cx, pl, jnp.tile(tids, (x.shape[0], 1)), idx)
+
+    ctx2 = 0.1 * jax.random.normal(key, (2, 8, cfg.cross_attention_dim))
+    pool2 = 0.1 * jax.random.normal(key, (2, cfg.pooled_projection_dim))
+    decode = lambda x: jnp.clip(jnp.tile(x[..., :3], (1, 4, 4, 1)) * 0.5 + 0.5, 0, 1)
+
+    out = tmp_path / "cls"
+    n = generate_class_images(str(out), 3, ctx2, pool2, unet_fn, params, decode,
+                              (h, h), n_steps=4, guidance_scale=6.0, batch=2)
+    assert n == 3
+    files = sorted(out.glob("*.png"))
+    assert len(files) == 3
+    assert Image.open(files[0]).size == (32, 32)

@@ -194,8 +194,51 @@ def main(argv=None) -> int:
     te1 = CLIPTextModel(c1)
     te2 = CLIPTextModel(c2)
 
-    # --- dataset ---
+    # --- class-image generation when the class dir is empty
+    # (reference diffusers_training_xl_new.py:561-600) ---
     latent_factor = 2 ** (len(vcfg.block_out_channels) - 1)
+    if opt.with_prior_preservation and not opt.real_prior:
+        from tweediemix_tpu.models.vae import postprocess_image, unscale_latents
+        from tweediemix_tpu.training.class_gen import generate_class_images
+
+        def _has_images(d):
+            from tweediemix_tpu.training.data import _list_images
+
+            return d and os.path.isdir(d) and _list_images(d)
+
+        for c in concepts:
+            if c.class_data_dir and c.class_prompt and not _has_images(c.class_data_dir):
+                def enc(prompts):
+                    i1 = jnp.asarray(tok1(prompts), jnp.int32)
+                    i2 = jnp.asarray(tok2(prompts), jnp.int32)
+                    p1, _, _ = te1.apply({"params": te1_params}, i1)
+                    p2_, _, pooled = te2.apply({"params": te2_params}, i2)
+                    return jnp.concatenate([p1, p2_], -1), pooled
+
+                cctx, cpool = enc([c.class_prompt])
+                uctx, upool = enc([""])
+                ctx2 = jnp.concatenate([uctx, cctx], 0)
+                pool2 = jnp.concatenate([upool, cpool], 0)
+                tids1 = jnp.array([[opt.resolution, opt.resolution, 0, 0,
+                                    opt.resolution, opt.resolution]], jnp.float32)
+
+                def unet_fn(p, x, t, cx, pl, idx):
+                    return unet.apply({"params": p}, x, t, cx, pl,
+                                      jnp.tile(tids1, (x.shape[0], 1)), idx)
+
+                def decode(x):
+                    z = unscale_latents(x.astype(jnp.float32), vcfg)
+                    return postprocess_image(
+                        vae.apply({"params": vae_params}, z, method=vae.decode))
+
+                n = generate_class_images(
+                    c.class_data_dir, opt.num_class_images, ctx2, pool2,
+                    unet_fn, unet_params, decode,
+                    (opt.resolution // latent_factor, opt.resolution // latent_factor),
+                    n_steps=25, guidance_scale=6.0, batch=2, seed=opt.seed,
+                )
+                print(f"generated {n} class images for {c.class_prompt!r}")
+
     ds = CustomDiffusionDataset(
         concepts, tok1, tok2, size=opt.resolution,
         with_prior_preservation=opt.with_prior_preservation,
