@@ -74,6 +74,26 @@ def concept_sharded_unet_fn(mesh: Mesh, unet_fn, axis: str = "dp"):
     return wrapped
 
 
+def seed_sharded_unet_fn(mesh: Mesh, unet_fn, axis: str = "dp"):
+    """Wrap a sampler unet_fn so every forward's batch rows shard across
+    ``axis`` — the "N seeds in parallel on v5e-8" serving layout. Rows are
+    embed-major/seed-minor ([k*S+s]), so any contiguous split is valid; the
+    caller picks num_seeds divisible by the axis size so every phase's row
+    count (2S joint, (N+1)S fused) divides evenly.
+    """
+    rows = NamedSharding(mesh, P(axis))
+
+    def wrapped(params, x, t, ctx, pooled, concept_idx):
+        x = jax.lax.with_sharding_constraint(x, rows)
+        ctx = jax.lax.with_sharding_constraint(ctx, rows)
+        pooled = jax.lax.with_sharding_constraint(pooled, rows)
+        concept_idx = jax.lax.with_sharding_constraint(concept_idx, rows)
+        eps = unet_fn(params, x, t, ctx, pooled, concept_idx)
+        return jax.lax.with_sharding_constraint(eps, rows)
+
+    return wrapped
+
+
 def pad_rows_to(x, n: int):
     """Pad leading dim up to n (repeat last row); returns (padded, orig_len)."""
     b = x.shape[0]
