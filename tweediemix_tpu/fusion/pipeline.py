@@ -35,7 +35,6 @@ from tweediemix_tpu.models.clip import DualTextEncoder
 from tweediemix_tpu.models.unet2d import UNet2DConditionModel, UNetConfig
 from tweediemix_tpu.models.vae import (
     AutoencoderKL,
-    VAEConfig,
     postprocess_image,
     unscale_latents,
 )

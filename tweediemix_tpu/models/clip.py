@@ -17,7 +17,7 @@ the param pytree.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 import flax.linen as nn
 import jax

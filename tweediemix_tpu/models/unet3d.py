@@ -27,10 +27,9 @@ layout mirrors I2VGen-XL (320/640/1280/1280, heads = ch/64, ctx 1024).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from tweediemix_tpu.models.embeddings import TimestepEmbedding, timestep_embedding

@@ -16,9 +16,12 @@ import jax.numpy as jnp
 
 from tweediemix_tpu.ops.flash_attention import flash_attention
 
-# Minimum q-sequence length for which the flash kernel beats the XLA path;
-# tiny sequences (e.g. 77-token cross attention K) stay on XLA.
-_FLASH_MIN_SQ = 512
+# Minimum q-sequence length for which the flash kernel engages. Measured on
+# v5e at SDXL shapes (batch-4 1024px UNet, 10-step scan): XLA's fused
+# attention edges out the Pallas kernel (335 vs 344 ms/fwd), so XLA is the
+# default up to 8k tokens; beyond that the materialized score matrix starts
+# to dominate HBM and flash wins. Override with TWEEDIEMIX_ATTENTION.
+_FLASH_MIN_SQ = 8192
 
 
 def _use_flash(sq: int, dh: int) -> bool:

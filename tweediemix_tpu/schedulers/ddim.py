@@ -15,8 +15,6 @@ contains only gathers and FMAs (no data-dependent control flow).
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -22,7 +22,6 @@ the LoRA variant):
 
 from __future__ import annotations
 
-import dataclasses
 import os
 from typing import Dict, Optional, Tuple
 

@@ -20,7 +20,6 @@ Rebuild of the reference's modified I2VGen-XL pipeline
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
