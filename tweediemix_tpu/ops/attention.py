@@ -16,12 +16,16 @@ import jax.numpy as jnp
 
 from tweediemix_tpu.ops.flash_attention import flash_attention
 
-# Minimum q-sequence length for which the flash kernel engages. Measured on
-# v5e at SDXL shapes (batch-4 1024px UNet, 10-step scan): XLA's fused
-# attention edges out the Pallas kernel (335 vs 344 ms/fwd), so XLA is the
-# default up to 8k tokens; beyond that the materialized score matrix starts
-# to dominate HBM and flash wins. Override with TWEEDIEMIX_ATTENTION.
-_FLASH_MIN_SQ = 8192
+# Flash-kernel dispatch thresholds, measured on v5e (30-call scans at SDXL
+# shapes, bf16, dh=64):
+#   BH=40 S=4096: flash(1024,1024) 3.7 ms / 46 TFLOP/s vs XLA fused 8.8 ms
+#   BH=80 S=1024: XLA 1.9 ms; flash degenerates (single-kv-block grids are
+#   pathological on this toolchain)
+# so flash engages only for long self-attention (both sides >= 2048 tokens),
+# which covers SDXL's quadratic level-1 blocks; everything else (cross-attn
+# kv=77, seq-1024 levels) stays on XLA. Override with TWEEDIEMIX_ATTENTION.
+_FLASH_MIN_SQ = 2048
+_FLASH_MIN_SK = 2048
 
 
 def _use_flash(sq: int, dh: int) -> bool:
@@ -30,6 +34,7 @@ def _use_flash(sq: int, dh: int) -> bool:
         return True
     if force == "xla":
         return False
+    # "auto" falls through to the measured thresholds
     return (
         jax.default_backend() == "tpu"
         and sq >= _FLASH_MIN_SQ
@@ -48,8 +53,10 @@ def attention(
     dh = q.shape[-1]
     if scale is None:
         scale = float(dh) ** -0.5
-    if _use_flash(q.shape[1], dh):
-        return flash_attention(q, k, v, scale=scale, interpret=interpret)
+    if _use_flash(q.shape[1], dh) and k.shape[1] >= _FLASH_MIN_SK:
+        return flash_attention(
+            q, k, v, scale=scale, block_q=1024, block_k=1024, interpret=interpret
+        )
     s = jnp.einsum("bid,bjd->bij", q, k, preferred_element_type=jnp.float32) * scale
     p = jax.nn.softmax(s, axis=-1)
     return jnp.einsum("bij,bjd->bid", p.astype(v.dtype), v).astype(q.dtype)
