@@ -16,16 +16,17 @@ import jax.numpy as jnp
 
 from tweediemix_tpu.ops.flash_attention import flash_attention
 
-# Flash-kernel dispatch thresholds, measured on v5e (30-call scans at SDXL
-# shapes, bf16, dh=64):
+# Flash-kernel dispatch, measured on v5e (30-call scans, bf16, dh=64):
 #   BH=40 S=4096: flash(1024,1024) 3.7 ms / 46 TFLOP/s vs XLA fused 8.8 ms
-#   BH=80 S=1024: XLA 1.9 ms; flash degenerates (single-kv-block grids are
-#   pathological on this toolchain)
-# so flash engages only for long self-attention (both sides >= 2048 tokens),
-# which covers SDXL's quadratic level-1 blocks; everything else (cross-attn
-# kv=77, seq-1024 levels) stays on XLA. Override with TWEEDIEMIX_ATTENTION.
-_FLASH_MIN_SQ = 2048
-_FLASH_MIN_SK = 2048
+#   BH=80 S=1024: flash(512,1024) 1.33 ms vs XLA 1.9 ms
+#   certain grids degenerate catastrophically on this toolchain (e.g.
+#   blocks (256,512)@4096, (512,512)@1024, (1024,1024)@1024 run ~1000x
+#   slow) — the block table below only contains measured-good configs.
+# Flash engages for self-attention with both sides >= 1024 tokens (SDXL
+# levels 1 and 2 + mid); cross-attention (kv=77) stays on XLA.
+# Override with TWEEDIEMIX_ATTENTION=flash|xla.
+_FLASH_MIN_SQ = 1024
+_FLASH_MIN_SK = 1024
 
 
 def _use_flash(sq: int, dh: int) -> bool:
@@ -54,8 +55,9 @@ def attention(
     if scale is None:
         scale = float(dh) ** -0.5
     if _use_flash(q.shape[1], dh) and k.shape[1] >= _FLASH_MIN_SK:
+        block_q = 1024 if k.shape[1] >= 2048 else 512
         return flash_attention(
-            q, k, v, scale=scale, block_q=1024, block_k=1024, interpret=interpret
+            q, k, v, scale=scale, block_q=block_q, block_k=1024, interpret=interpret
         )
     s = jnp.einsum("bid,bjd->bij", q, k, preferred_element_type=jnp.float32) * scale
     p = jax.nn.softmax(s, axis=-1)
