@@ -126,3 +126,37 @@ def test_cli_with_sam_random_segmentation(tmp_path):
     ])
     assert rc == 0
     assert list(out.glob("*.png"))
+
+
+def test_vit_rel_pos_bias():
+    """Zero rel-pos tables reproduce the no-bias path; nonzero tables
+    change the output (SAM decomposed relative positions)."""
+    from flax import traverse_util
+
+    cfg = SAMConfig.tiny()
+    enc_cfg_off = SAMConfig.tiny(use_rel_pos=False)
+    from tweediemix_tpu.segmentation.sam import SAMImageEncoder
+
+    key = jax.random.PRNGKey(0)
+    img = jax.random.normal(key, (1, cfg.image_size, cfg.image_size, 3))
+    enc = SAMImageEncoder(cfg)
+    params = jax.jit(enc.init)(key, img)["params"]
+    out_zero = enc.apply({"params": params}, img)
+
+    enc_off = SAMImageEncoder(enc_cfg_off)
+    flat = {p: l for p, l in traverse_util.flatten_dict(params).items()
+            if "rel_pos" not in p[-1]}
+    out_off = enc_off.apply({"params": traverse_util.unflatten_dict(flat)}, img)
+    np.testing.assert_allclose(np.asarray(out_zero), np.asarray(out_off), rtol=1e-5, atol=1e-6)
+
+    # non-constant tables change the result (a constant table is
+    # softmax-invariant: it adds the same bias to every key)
+    flat_on = dict(traverse_util.flatten_dict(params))
+    for j, p in enumerate(sorted(flat_on)):
+        if "rel_pos" in p[-1]:
+            flat_on[p] = 0.5 * jax.random.normal(
+                jax.random.fold_in(key, j), flat_on[p].shape
+            )
+    from flax import traverse_util as tu
+    out_bias = enc.apply({"params": tu.unflatten_dict(flat_on)}, img)
+    assert float(jnp.max(jnp.abs(out_bias - out_zero))) > 1e-4

@@ -5,11 +5,9 @@ lang_sam.py:63-87,121-131``: box-prompted mask prediction on a second GPU).
 The structure follows segment-anything's three-part design:
 
 * ``SAMImageEncoder``: ViT over 16x16 patches with absolute positional
-  embeddings and optional window attention, then a conv neck to 256-d
-  feature maps. (Deviation from upstream ViT-H: decomposed relative
-  position biases are not implemented yet — weight conversion of upstream
-  checkpoints needs that pass; masks from randomly initialized or
-  natively trained weights are unaffected.)
+  embeddings, window attention, and SAM's decomposed relative-position
+  biases (zero-init tables per block, matching upstream's layout so
+  checkpoint conversion is a rename+transpose pass).
 * ``SAMPromptEncoder``: random-Fourier positional encoding; a box becomes
   two corner points with learned corner embeddings (sparse prompts).
 * ``SAMMaskDecoder``: two-way transformer (token self-attn, token→image
@@ -42,6 +40,7 @@ class SAMConfig:
     encoder_heads: int = 16
     window_size: int = 14
     global_attn_indexes: Tuple[int, ...] = (7, 15, 23, 31)
+    use_rel_pos: bool = True
     prompt_dim: int = 256
     decoder_layers: int = 2
     decoder_heads: int = 8
@@ -81,10 +80,30 @@ def window_unpartition(x, win: int, hw: Tuple[int, int]):
     return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h, w, -1)
 
 
+def _rel_pos_bias(q, rel_h, rel_w, gh: int, gw: int, heads: int):
+    """SAM's decomposed relative-position bias.
+
+    q: [B*, gh*gw, C] (per window or global); rel_h: [2*gh-1, hd];
+    returns bias [B* * heads, gh*gw, gh*gw]. Equal q/k sizes, so the
+    table index is simply (q_idx - k_idx + size - 1)."""
+    bsz, _, c = q.shape
+    hd = c // heads
+    qr = q.reshape(bsz, gh, gw, heads, hd)
+    idx_h = (jnp.arange(gh)[:, None] - jnp.arange(gh)[None, :]) + gh - 1
+    idx_w = (jnp.arange(gw)[:, None] - jnp.arange(gw)[None, :]) + gw - 1
+    Rh = rel_h[idx_h]  # [gh, gh, hd]
+    Rw = rel_w[idx_w]  # [gw, gw, hd]
+    bh = jnp.einsum("bhwnc,hkc->bnhwk", qr, Rh.astype(qr.dtype))
+    bw = jnp.einsum("bhwnc,wkc->bnhwk", qr, Rw.astype(qr.dtype))
+    bias = bh[..., :, None] + bw[:, :, :, :, None, :]  # [b,n,gh,gw,gh,gw]
+    return bias.reshape(bsz * heads, gh * gw, gh * gw)
+
+
 class ViTBlock(nn.Module):
     dim: int
     heads: int
     window_size: int  # 0 = global attention
+    use_rel_pos: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -94,10 +113,25 @@ class ViTBlock(nn.Module):
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
         if self.window_size > 0:
             x = window_partition(x, self.window_size)
+        gh, gw = x.shape[1], x.shape[2]
         tokens = x.reshape(x.shape[0], -1, c)
         qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(tokens)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        o = multi_head_attention(q, k, v, self.heads)
+        if self.use_rel_pos:
+            hd = c // self.heads
+            rel_h = self.param("rel_pos_h", nn.initializers.zeros, (2 * gh - 1, hd), jnp.float32)
+            rel_w = self.param("rel_pos_w", nn.initializers.zeros, (2 * gw - 1, hd), jnp.float32)
+            from tweediemix_tpu.ops.attention import merge_heads, split_heads
+
+            qs, ks, vs = (split_heads(a, self.heads) for a in (q, k, v))
+            s = jnp.einsum(
+                "bid,bjd->bij", qs, ks, preferred_element_type=jnp.float32
+            ) * (hd**-0.5)
+            s = s + _rel_pos_bias(q, rel_h, rel_w, gh, gw, self.heads).astype(jnp.float32)
+            p = jax.nn.softmax(s, axis=-1).astype(vs.dtype)
+            o = merge_heads(jnp.einsum("bij,bjd->bid", p, vs), self.heads)
+        else:
+            o = multi_head_attention(q, k, v, self.heads)
         o = nn.Dense(c, dtype=self.dtype, name="proj")(o)
         o = o.reshape(x.shape)
         if self.window_size > 0:
@@ -128,7 +162,8 @@ class SAMImageEncoder(nn.Module):
         x = x + pos.astype(cfg.dtype)
         for i in range(cfg.encoder_layers):
             win = 0 if i in cfg.global_attn_indexes else cfg.window_size
-            x = ViTBlock(cfg.encoder_dim, cfg.encoder_heads, win, cfg.dtype,
+            x = ViTBlock(cfg.encoder_dim, cfg.encoder_heads, win,
+                         use_rel_pos=cfg.use_rel_pos, dtype=cfg.dtype,
                          name=f"blocks_{i}")(x)
         # neck → prompt_dim channels
         x = nn.Conv(cfg.prompt_dim, (1, 1), use_bias=False, dtype=cfg.dtype, name="neck_conv1")(x)
