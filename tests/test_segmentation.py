@@ -160,3 +160,95 @@ def test_vit_rel_pos_bias():
     from flax import traverse_util as tu
     out_bias = enc.apply({"params": tu.unflatten_dict(flat_on)}, img)
     assert float(jnp.max(jnp.abs(out_bias - out_zero))) > 1e-4
+
+
+def test_convert_sam_roundtrip_tiny():
+    """Synthesize a segment-anything-style state dict for the tiny SAM and
+    check the converted tree covers the flax init tree exactly."""
+    from flax import traverse_util
+
+    from tweediemix_tpu.models.convert import convert_sam_state_dict
+
+    cfg = SAMConfig.tiny()
+    model = SAM(cfg)
+    img = jnp.zeros((1, cfg.image_size, cfg.image_size, 3))
+    boxes = jnp.zeros((2, 4))
+    want = traverse_util.flatten_dict(
+        jax.eval_shape(model.init, jax.random.PRNGKey(0), img, boxes)["params"]
+    )
+
+    rng = np.random.RandomState(0)
+
+    def torch_name_and_arr(path, shape):
+        """Independent inverse map: flax path → upstream torch name + layout."""
+        mod, leaf = path[:-1], path[-1]
+        arr = rng.randn(*shape).astype(np.float32)
+        if leaf == "kernel":
+            if mod[-1] in ("up1", "up2"):  # ConvTranspose [kh,kw,in,out] → [in,out,kh,kw]
+                arr = rng.randn(shape[2], shape[3], shape[0], shape[1]).astype(np.float32)
+            elif len(shape) == 4:  # conv [kh,kw,I,O] → [O,I,kh,kw]
+                arr = rng.randn(shape[3], shape[2], shape[0], shape[1]).astype(np.float32)
+            else:  # linear
+                arr = rng.randn(shape[1], shape[0]).astype(np.float32)
+            tleaf = "weight"
+        elif leaf == "scale":
+            tleaf = "weight"
+        else:
+            tleaf = leaf
+
+        p = ".".join(mod)
+        p = p.replace("image_encoder.patch_embed", "image_encoder.patch_embed.proj")
+        p = (p.replace("image_encoder.blocks_", "image_encoder.blocks.")
+               .replace("mask_decoder.layers_", "mask_decoder.transformer.layers."))
+        import re as _re
+        p = _re.sub(r"blocks\.(\d+)\.qkv", r"blocks.\1.attn.qkv", p)
+        p = _re.sub(r"blocks\.(\d+)\.proj", r"blocks.\1.attn.proj", p)
+        p = _re.sub(r"blocks\.(\d+)\.rel_pos_(h|w)", r"blocks.\1.attn.rel_pos_\2", p)
+        p = p.replace("mlp_lin1", "mlp.lin1").replace("mlp_lin2", "mlp.lin2")
+        p = p.replace("image_encoder.neck_conv1", "image_encoder.neck.0")
+        p = p.replace("image_encoder.neck_norm1", "image_encoder.neck.1")
+        p = p.replace("image_encoder.neck_conv2", "image_encoder.neck.2")
+        p = p.replace("image_encoder.neck_norm2", "image_encoder.neck.3")
+        p = p.replace("mask_decoder.final_attn_token_to_image",
+                      "mask_decoder.transformer.final_attn_token_to_image")
+        p = p.replace("mask_decoder.norm_final_attn", "mask_decoder.transformer.norm_final_attn")
+        p = p.replace("mask_decoder.up1", "mask_decoder.output_upscaling.0")
+        p = p.replace("mask_decoder.up_norm", "mask_decoder.output_upscaling.1")
+        p = p.replace("mask_decoder.up2", "mask_decoder.output_upscaling.3")
+        p = _re.sub(r"mask_decoder\.hyper_(\d+)_lin(\d+)",
+                    r"mask_decoder.output_hypernetworks_mlps.\1.layers.\2", p)
+        p = _re.sub(r"mask_decoder\.iou_lin(\d+)",
+                    r"mask_decoder.iou_prediction_head.layers.\1", p)
+        return f"{p}.{tleaf}", arr
+
+    sd = {}
+    for path, leafshape in want.items():
+        if path == ("image_encoder", "pos_embed"):
+            sd["image_encoder.pos_embed"] = rng.randn(*leafshape.shape).astype(np.float32)
+        elif path[-1] in ("rel_pos_h", "rel_pos_w"):
+            name, _ = torch_name_and_arr(path + ("x",), (1,))
+            sd[name.rsplit(".", 1)[0]] = rng.randn(*leafshape.shape).astype(np.float32)
+        elif path == ("prompt_encoder", "pe_gaussian"):
+            sd["prompt_encoder.pe_layer.positional_encoding_gaussian_matrix"] = (
+                rng.randn(*leafshape.shape).astype(np.float32))
+        elif path == ("prompt_encoder", "corner_embed"):
+            sd["prompt_encoder.point_embeddings.2.weight"] = rng.randn(1, leafshape.shape[1]).astype(np.float32)
+            sd["prompt_encoder.point_embeddings.3.weight"] = rng.randn(1, leafshape.shape[1]).astype(np.float32)
+        elif path == ("mask_decoder", "iou_token"):
+            sd["mask_decoder.iou_token.weight"] = rng.randn(*leafshape.shape).astype(np.float32)
+        elif path == ("mask_decoder", "mask_tokens"):
+            sd["mask_decoder.mask_tokens.weight"] = rng.randn(*leafshape.shape).astype(np.float32)
+        else:
+            name, arr = torch_name_and_arr(path, leafshape.shape)
+            sd[name] = arr
+    # upstream extras that must be ignored cleanly
+    sd["prompt_encoder.not_a_point_embed.weight"] = rng.randn(1, cfg.prompt_dim).astype(np.float32)
+    sd["prompt_encoder.no_mask_embed.weight"] = rng.randn(1, cfg.prompt_dim).astype(np.float32)
+
+    got = traverse_util.flatten_dict(convert_sam_state_dict(sd))
+    assert set(got) == set(want), (set(want) - set(got), set(got) - set(want))
+    for p in want:
+        assert tuple(got[p].shape) == tuple(want[p].shape), p
+    # converted params must actually run
+    masks, iou = model.apply({"params": traverse_util.unflatten_dict(got)}, img, boxes)
+    assert bool(jnp.all(jnp.isfinite(masks)))

@@ -121,6 +121,115 @@ def convert_clip_state_dict(sd: Dict[str, np.ndarray], dtype=None) -> Dict:
     return traverse_util.unflatten_dict({k: jnp.asarray(v) for k, v in out.items()})
 
 
+_SAM_BLOCK = re.compile(r"image_encoder\.blocks\.(\d+)\.")
+_SAM_DEC_LAYER = re.compile(r"mask_decoder\.transformer\.layers\.(\d+)\.")
+
+
+def convert_sam_state_dict(sd: Dict[str, np.ndarray], dtype=None) -> Dict:
+    """segment-anything checkpoint → our Flax SAM params.
+
+    Covers the box-prompt path (image encoder, pe layer + box corner
+    embeddings, two-way mask decoder). Point/mask-prompt embeddings of the
+    upstream prompt encoder (``not_a_point_embed``, ``mask_downscaling``,
+    ``no_mask_embed``) are dropped — the reference only uses box prompts
+    (``text_segment/lang_sam/lang_sam.py:121-131``)."""
+    out = {}
+    corner = {}
+    neck_map = {"0": ("neck_conv1",), "1": ("neck_norm1",), "2": ("neck_conv2",), "3": ("neck_norm2",)}
+    ups_map = {"0": ("up1",), "1": ("up_norm",), "3": ("up2",)}
+
+    def put(path, arr, transpose="auto"):
+        if path[-1] == "kernel":
+            if transpose == "convT" and arr.ndim == 4:
+                arr = arr.transpose(2, 3, 0, 1)  # [in,out,kh,kw] → [kh,kw,in,out]
+            elif arr.ndim == 4:
+                arr = arr.transpose(2, 3, 1, 0)  # conv [O,I,kh,kw] → [kh,kw,I,O]
+            elif arr.ndim == 2:
+                arr = arr.T
+        out[path] = arr
+
+    for name, arr in sd.items():
+        parts = name.split(".")
+        leaf = parts[-1]
+        flax_leaf = "kernel" if leaf == "weight" else leaf
+        if arr.ndim == 1 and leaf == "weight":
+            flax_leaf = "scale"
+
+        if name.startswith("image_encoder.patch_embed.proj"):
+            put(("image_encoder", "patch_embed", flax_leaf), arr)
+        elif name == "image_encoder.pos_embed":
+            out[("image_encoder", "pos_embed")] = arr
+        elif _SAM_BLOCK.match(name):
+            i = _SAM_BLOCK.match(name).group(1)
+            rest = name[_SAM_BLOCK.match(name).end():]
+            rest = (rest.replace("attn.qkv", "qkv").replace("attn.proj", "proj")
+                        .replace("attn.rel_pos_h", "rel_pos_h").replace("attn.rel_pos_w", "rel_pos_w")
+                        .replace("mlp.lin1", "mlp_lin1").replace("mlp.lin2", "mlp_lin2"))
+            sub = rest.split(".")
+            if sub[-1] in ("rel_pos_h", "rel_pos_w"):
+                out[("image_encoder", f"blocks_{i}", sub[-1])] = arr
+            else:
+                put(("image_encoder", f"blocks_{i}", *sub[:-1], flax_leaf), arr)
+        elif name.startswith("image_encoder.neck."):
+            idx = parts[2]
+            put(("image_encoder", *neck_map[idx], flax_leaf), arr)
+        elif name == "prompt_encoder.pe_layer.positional_encoding_gaussian_matrix":
+            out[("prompt_encoder", "pe_gaussian")] = arr
+        elif name.startswith("prompt_encoder.point_embeddings."):
+            # entries 2 and 3 are the box corner embeddings
+            idx = int(parts[2])
+            if idx in (2, 3):
+                corner[idx] = arr.reshape(-1)
+        elif _SAM_DEC_LAYER.match(name):
+            i = _SAM_DEC_LAYER.match(name).group(1)
+            rest = name[_SAM_DEC_LAYER.match(name).end():]
+            rest = rest.replace("mlp.lin1", "mlp_lin1").replace("mlp.lin2", "mlp_lin2")
+            sub = rest.split(".")
+            put(("mask_decoder", f"layers_{i}", *sub[:-1], flax_leaf), arr)
+        elif name.startswith("mask_decoder.transformer.final_attn_token_to_image."):
+            sub = parts[3:]
+            put(("mask_decoder", "final_attn_token_to_image", *sub[:-1], flax_leaf), arr)
+        elif name.startswith("mask_decoder.transformer.norm_final_attn"):
+            put(("mask_decoder", "norm_final_attn", flax_leaf), arr)
+        elif name == "mask_decoder.iou_token.weight":
+            out[("mask_decoder", "iou_token")] = arr
+        elif name == "mask_decoder.mask_tokens.weight":
+            out[("mask_decoder", "mask_tokens")] = arr
+        elif name.startswith("mask_decoder.output_upscaling."):
+            idx = parts[2]
+            if idx in ups_map:
+                put(("mask_decoder", *ups_map[idx], flax_leaf), arr,
+                    transpose="convT" if idx in ("0", "3") else "auto")
+        elif name.startswith("mask_decoder.output_hypernetworks_mlps."):
+            i, j = parts[2], parts[4]
+            put(("mask_decoder", f"hyper_{i}_lin{j}", flax_leaf), arr)
+        elif name.startswith("mask_decoder.iou_prediction_head.layers."):
+            j = parts[3]
+            put(("mask_decoder", f"iou_lin{j}", flax_leaf), arr)
+        # else: point/mask prompt embeddings and buffers are dropped
+
+    if 2 in corner and 3 in corner:
+        out[("prompt_encoder", "corner_embed")] = np.stack([corner[2], corner[3]])
+    if dtype is not None:
+        out = {k: (v.astype(dtype) if v.dtype in (np.float32, np.float16) else v)
+               for k, v in out.items()}
+    return traverse_util.unflatten_dict({k: jnp.asarray(v) for k, v in out.items()})
+
+
+def load_sam_params(ckpt_path_or_dir: str, dtype=np.float32) -> Dict:
+    """Load a segment-anything .pth/.safetensors checkpoint."""
+    import os as _os
+
+    if _os.path.isdir(ckpt_path_or_dir):
+        sd = load_torch_state_dict(ckpt_path_or_dir)
+    else:
+        import torch
+
+        raw = torch.load(ckpt_path_or_dir, map_location="cpu", weights_only=True)
+        sd = {k: v.float().numpy() for k, v in raw.items()}
+    return convert_sam_state_dict(sd, dtype=dtype)
+
+
 def load_unet_params(unet_dir: str, dtype=np.float32) -> Dict:
     return convert_unet_state_dict(load_torch_state_dict(unet_dir), dtype=dtype)
 

@@ -43,6 +43,8 @@ class SAMConfig:
     use_rel_pos: bool = True
     prompt_dim: int = 256
     decoder_layers: int = 2
+    # upstream downsamples cross-attention to prompt_dim/2 internally
+    attention_downsample_rate: int = 2
     decoder_heads: int = 8
     num_mask_tokens: int = 4
     dtype: jnp.dtype = jnp.float32
@@ -201,50 +203,56 @@ class SAMPromptEncoder(nn.Module):
         return self.fourier(coords)  # [g, g, D]
 
 
+class SAMAttention(nn.Module):
+    """q/k/v/out projection attention with upstream's internal downsample
+    (cross-attention runs at dim/downsample_rate; names match
+    segment-anything's ``Attention`` for checkpoint conversion)."""
+
+    dim: int
+    heads: int
+    downsample_rate: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, q, k, v):
+        inner = self.dim // self.downsample_rate
+        o = multi_head_attention(
+            nn.Dense(inner, dtype=self.dtype, name="q_proj")(q),
+            nn.Dense(inner, dtype=self.dtype, name="k_proj")(k),
+            nn.Dense(inner, dtype=self.dtype, name="v_proj")(v),
+            self.heads,
+        )
+        return nn.Dense(self.dim, dtype=self.dtype, name="out_proj")(o)
+
+
 class TwoWayBlock(nn.Module):
     dim: int
     heads: int
+    downsample_rate: int = 2
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, tokens, image, token_pe, image_pe, first: bool):
-        # token self-attention
+        # token self-attention (full dim)
         q = tokens + (0.0 if first else token_pe)
-        attn = multi_head_attention(
-            nn.Dense(self.dim, dtype=self.dtype, name="self_q")(q),
-            nn.Dense(self.dim, dtype=self.dtype, name="self_k")(q),
-            nn.Dense(self.dim, dtype=self.dtype, name="self_v")(tokens),
-            self.heads,
-        )
-        tokens = nn.LayerNorm(dtype=self.dtype, name="norm1")(tokens + nn.Dense(
-            self.dim, dtype=self.dtype, name="self_o")(attn))
-        # token → image cross-attention
-        q = tokens + token_pe
-        k = image + image_pe
-        attn = multi_head_attention(
-            nn.Dense(self.dim, dtype=self.dtype, name="t2i_q")(q),
-            nn.Dense(self.dim, dtype=self.dtype, name="t2i_k")(k),
-            nn.Dense(self.dim, dtype=self.dtype, name="t2i_v")(image),
-            self.heads,
-        )
-        tokens = nn.LayerNorm(dtype=self.dtype, name="norm2")(tokens + nn.Dense(
-            self.dim, dtype=self.dtype, name="t2i_o")(attn))
-        # MLP
+        attn = SAMAttention(self.dim, self.heads, 1, self.dtype, name="self_attn")(
+            q, q, tokens)
+        tokens = nn.LayerNorm(dtype=self.dtype, name="norm1")(tokens + attn)
+        # token → image cross-attention (downsampled)
+        attn = SAMAttention(self.dim, self.heads, self.downsample_rate, self.dtype,
+                            name="cross_attn_token_to_image")(
+            tokens + token_pe, image + image_pe, image)
+        tokens = nn.LayerNorm(dtype=self.dtype, name="norm2")(tokens + attn)
+        # MLP (mlp_dim = 8*dim = 2048 at dim 256, matching upstream)
         h = nn.Dense(self.dim * 8, dtype=self.dtype, name="mlp_lin1")(tokens)
         h = nn.relu(h)
         tokens = nn.LayerNorm(dtype=self.dtype, name="norm3")(
             tokens + nn.Dense(self.dim, dtype=self.dtype, name="mlp_lin2")(h))
-        # image → token cross-attention
-        q = image + image_pe
-        k = tokens + token_pe
-        attn = multi_head_attention(
-            nn.Dense(self.dim, dtype=self.dtype, name="i2t_q")(q),
-            nn.Dense(self.dim, dtype=self.dtype, name="i2t_k")(k),
-            nn.Dense(self.dim, dtype=self.dtype, name="i2t_v")(tokens),
-            self.heads,
-        )
-        image = nn.LayerNorm(dtype=self.dtype, name="norm4")(image + nn.Dense(
-            self.dim, dtype=self.dtype, name="i2t_o")(attn))
+        # image → token cross-attention (downsampled)
+        attn = SAMAttention(self.dim, self.heads, self.downsample_rate, self.dtype,
+                            name="cross_attn_image_to_token")(
+            image + image_pe, tokens + token_pe, tokens)
+        image = nn.LayerNorm(dtype=self.dtype, name="norm4")(image + attn)
         return tokens, image
 
 
@@ -258,8 +266,9 @@ class SAMMaskDecoder(nn.Module):
         cfg = self.config
         b, g, _, d = image_feats.shape
         m = cfg.num_mask_tokens
-        out_tokens = self.param("mask_tokens", nn.initializers.normal(0.02),
-                                (1 + m, d), jnp.float32)  # iou + mask tokens
+        iou_tok = self.param("iou_token", nn.initializers.normal(0.02), (1, d), jnp.float32)
+        mask_toks = self.param("mask_tokens", nn.initializers.normal(0.02), (m, d), jnp.float32)
+        out_tokens = jnp.concatenate([iou_tok, mask_toks], axis=0)
         tokens = jnp.concatenate(
             [jnp.tile(out_tokens[None], (b, 1, 1)).astype(image_feats.dtype), sparse_prompts],
             axis=1,
@@ -269,19 +278,14 @@ class SAMMaskDecoder(nn.Module):
         tok_pe = tokens  # SAM uses the initial tokens as their own PE
 
         for i in range(cfg.decoder_layers):
-            tokens, image = TwoWayBlock(d, cfg.decoder_heads, cfg.dtype,
-                                        name=f"layers_{i}")(tokens, image, tok_pe, img_pe, i == 0)
-        # final token→image attention
-        q = tokens + tok_pe
-        k = image + img_pe
-        attn = multi_head_attention(
-            nn.Dense(d, dtype=cfg.dtype, name="final_q")(q),
-            nn.Dense(d, dtype=cfg.dtype, name="final_k")(k),
-            nn.Dense(d, dtype=cfg.dtype, name="final_v")(image),
-            cfg.decoder_heads,
-        )
-        tokens = nn.LayerNorm(dtype=cfg.dtype, name="final_norm")(
-            tokens + nn.Dense(d, dtype=cfg.dtype, name="final_o")(attn))
+            tokens, image = TwoWayBlock(
+                d, cfg.decoder_heads, cfg.attention_downsample_rate, cfg.dtype,
+                name=f"layers_{i}")(tokens, image, tok_pe, img_pe, i == 0)
+        # final token→image attention (downsampled like upstream)
+        attn = SAMAttention(d, cfg.decoder_heads, cfg.attention_downsample_rate,
+                            cfg.dtype, name="final_attn_token_to_image")(
+            tokens + tok_pe, image + img_pe, image)
+        tokens = nn.LayerNorm(dtype=cfg.dtype, name="norm_final_attn")(tokens + attn)
 
         iou_token, mask_tokens = tokens[:, 0], tokens[:, 1 : 1 + m]
 
