@@ -291,3 +291,47 @@ def test_cli_tiny_end_to_end(tmp_path):
     assert len(files) == 1
     img = np.asarray(Image.open(files[0]))
     assert img.ndim == 3 and img.shape[2] == 3
+
+
+def test_convert_clip_vision_state_dict():
+    from tweediemix_tpu.models.clip import CLIPVisionConfig, CLIPVisionModel
+    from tweediemix_tpu.models.convert import convert_clip_vision_state_dict
+
+    cfg = CLIPVisionConfig.tiny(projection_dim=24)
+    model = CLIPVisionModel(cfg)
+    img = jnp.zeros((1, cfg.image_size, cfg.image_size, 3))
+    want = traverse_util.flatten_dict(
+        jax.eval_shape(model.init, jax.random.PRNGKey(0), img)["params"]
+    )
+    rng = np.random.RandomState(0)
+    n_pos = (cfg.image_size // cfg.patch_size) ** 2 + 1
+    d = cfg.hidden_size
+    sd = {
+        "vision_model.embeddings.patch_embedding.weight": rng.randn(d, 3, cfg.patch_size, cfg.patch_size),
+        "vision_model.embeddings.class_embedding": rng.randn(d),
+        "vision_model.embeddings.position_embedding.weight": rng.randn(n_pos, d),
+        "vision_model.pre_layrnorm.weight": rng.randn(d),
+        "vision_model.pre_layrnorm.bias": rng.randn(d),
+        "vision_model.post_layernorm.weight": rng.randn(d),
+        "vision_model.post_layernorm.bias": rng.randn(d),
+        "visual_projection.weight": rng.randn(24, d),
+    }
+    for i in range(cfg.num_layers):
+        base = f"vision_model.encoder.layers.{i}."
+        for mod, shp in [
+            ("self_attn.q_proj", (d, d)), ("self_attn.k_proj", (d, d)),
+            ("self_attn.v_proj", (d, d)), ("self_attn.out_proj", (d, d)),
+            ("mlp.fc1", (cfg.intermediate_size, d)), ("mlp.fc2", (d, cfg.intermediate_size)),
+        ]:
+            sd[base + mod + ".weight"] = rng.randn(*shp)
+            sd[base + mod + ".bias"] = rng.randn(shp[0])
+        for ln in ("layer_norm1", "layer_norm2"):
+            sd[base + ln + ".weight"] = rng.randn(d)
+            sd[base + ln + ".bias"] = rng.randn(d)
+
+    got = traverse_util.flatten_dict(convert_clip_vision_state_dict(sd))
+    assert set(got) == set(want), (set(want) - set(got), set(got) - set(want))
+    for p in want:
+        assert tuple(got[p].shape) == tuple(want[p].shape), p
+    pooled = model.apply({"params": traverse_util.unflatten_dict(got)}, img)
+    assert pooled.shape == (1, 24)

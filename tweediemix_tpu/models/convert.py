@@ -230,6 +230,51 @@ def load_sam_params(ckpt_path_or_dir: str, dtype=np.float32) -> Dict:
     return convert_sam_state_dict(sd, dtype=dtype)
 
 
+_CLIP_VISION_LAYER = re.compile(r"vision_model\.encoder\.layers\.(\d+)\.")
+
+
+def convert_clip_vision_state_dict(sd: Dict[str, np.ndarray], dtype=None) -> Dict:
+    """HF CLIPVisionModel(WithProjection) → our CLIPVisionModel params."""
+    out = {}
+    for name, arr in sd.items():
+        if name.startswith("vision_model.embeddings.patch_embedding"):
+            out[("patch_embedding", "kernel")] = arr.transpose(2, 3, 1, 0)
+            continue
+        if name.startswith("vision_model.embeddings.class_embedding"):
+            out[("class_embedding",)] = arr.reshape(-1)
+            continue
+        if name.startswith("vision_model.embeddings.position_embedding"):
+            out[("position_embedding",)] = arr
+            continue
+        for ln in ("pre_layrnorm", "post_layernorm"):
+            if name.startswith(f"vision_model.{ln}"):
+                leaf = "scale" if name.endswith("weight") else "bias"
+                out[(ln, leaf)] = arr
+                break
+        else:
+            if name == "visual_projection.weight":
+                out[("visual_projection", "kernel")] = arr.T
+                continue
+            m = _CLIP_VISION_LAYER.match(name)
+            if m:
+                rest = name[m.end():].replace("self_attn.", "").replace("mlp.", "")
+                parts = rest.split(".")
+                leaf, mod = parts[-1], parts[0]
+                if leaf == "weight":
+                    leaf = "scale" if arr.ndim == 1 else "kernel"
+                    if arr.ndim == 2:
+                        arr = arr.T
+                out[(f"layers_{m.group(1)}", mod, leaf)] = arr
+    if dtype is not None:
+        out = {k: (v.astype(dtype) if v.dtype in (np.float32, np.float16) else v)
+               for k, v in out.items()}
+    return traverse_util.unflatten_dict({k: jnp.asarray(v) for k, v in out.items()})
+
+
+def load_clip_vision_params(enc_dir: str, dtype=np.float32) -> Dict:
+    return convert_clip_vision_state_dict(load_torch_state_dict(enc_dir), dtype=dtype)
+
+
 def load_unet_params(unet_dir: str, dtype=np.float32) -> Dict:
     return convert_unet_state_dict(load_torch_state_dict(unet_dir), dtype=dtype)
 
