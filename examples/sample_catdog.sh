@@ -9,6 +9,9 @@ set -e
 MODEL_DIR=${MODEL_DIR:-./stable-diffusion-xl-base-1.0}
 RESULT_PATH=${RESULT_PATH:-./test_out}
 SEED=${SEED:-3821}
+# real-weights segmentation (lang_sam.py:20-24 equivalents, local files):
+SAM_CHECKPOINT=${SAM_CHECKPOINT:-./sam_vit_h_4b8939.pth}
+DETECTOR_DIR=${DETECTOR_DIR:-./owlvit-base-patch32}
 
 # background must come last; concept order must match the prompts
 PROMPT="photo of a cat running, mountain background+photo of a dog running, mountain background+mountain background"
@@ -26,6 +29,7 @@ python -m tweediemix_tpu.cli.fusion_sampling \
   --personal_checkpoint "$PERSONAL_CHECKPOINT" \
   --concepts "$CONCEPTS" --modifier_token "$MODIFIER" \
   --seg_concepts "$SEG_CONCEPTS" --seg_preset sam \
+  --sam_checkpoint "$SAM_CHECKPOINT" --detector_dir "$DETECTOR_DIR" \
   --resolution_h 1024 --resolution_w 1024 \
   --t_cond 0.2 --seed "$SEED" --negative_prompt '' \
   --output_path "$RESULT_PATH" --output_path_all "$RESULT_PATH"

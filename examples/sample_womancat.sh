@@ -3,6 +3,8 @@
 set -e
 MODEL_DIR=${MODEL_DIR:-./stable-diffusion-xl-base-1.0}
 RESULT_PATH=${RESULT_PATH:-./test_out_woman}
+SAM_CHECKPOINT=${SAM_CHECKPOINT:-./sam_vit_h_4b8939.pth}
+DETECTOR_DIR=${DETECTOR_DIR:-./owlvit-base-patch32}
 SEED=${SEED:-3831}
 PROMPT="photo of a woman sitting on the grass+photo of a cat sitting on the grass+grass background"
 PROMPT_ORIG="photo of a woman and a cat sitting on the grass"
@@ -19,6 +21,7 @@ python -m tweediemix_tpu.cli.fusion_sampling \
   --personal_checkpoint "$PERSONAL_CHECKPOINT" \
   --concepts "$CONCEPTS" --modifier_token "$MODIFIER" \
   --seg_concepts "$SEG_CONCEPTS" --seg_preset sam \
+  --sam_checkpoint "$SAM_CHECKPOINT" --detector_dir "$DETECTOR_DIR" \
   --resolution_h 1024 --resolution_w 1024 \
   --t_cond 0.2 --seed "$SEED" --negative_prompt '' \
   --output_path "$RESULT_PATH" --output_path_all "$RESULT_PATH"

@@ -128,6 +128,137 @@ def test_cli_with_sam_random_segmentation(tmp_path):
     assert list(out.glob("*.png"))
 
 
+def test_convert_detector_roundtrip_tiny():
+    """Synthesize an HF OwlViTForObjectDetection-style state dict for the
+    tiny detector and check the converted tree covers the flax init tree
+    exactly (the owlvit-base-patch32 conversion path at tiny scale)."""
+    from flax import traverse_util
+
+    from tweediemix_tpu.models.convert import convert_detector_state_dict
+
+    cfg = DetectorConfig.tiny()
+    det = TextBoxDetector(cfg)
+    img = jnp.zeros((1, cfg.vision.image_size, cfg.vision.image_size, 3))
+    ids = jnp.zeros((1, cfg.text.max_positions), jnp.int32).at[0, 3].set(999)
+    want = traverse_util.flatten_dict(
+        jax.eval_shape(det.init, jax.random.PRNGKey(0), img, ids)["params"]
+    )
+
+    rng = np.random.RandomState(0)
+    head_inv = {
+        ("class_head_dense0",): "class_head.dense0",
+        ("logit_shift",): "class_head.logit_shift",
+        ("logit_scale",): "class_head.logit_scale",
+        ("box_head_dense0",): "box_head.dense0",
+        ("box_head_dense1",): "box_head.dense1",
+        ("box_head_dense2",): "box_head.dense2",
+    }
+
+    def hf_name_and_arr(path, shape):
+        """Independent inverse map: flax path → HF torch name + layout."""
+        mod, leaf = path[:-1], path[-1]
+        if leaf == "kernel":
+            if len(shape) == 4:
+                arr = rng.randn(shape[3], shape[2], shape[0], shape[1]).astype(np.float32)
+            else:
+                arr = rng.randn(shape[1], shape[0]).astype(np.float32)
+            tleaf = "weight"
+        else:
+            arr = rng.randn(*shape).astype(np.float32)
+            tleaf = "weight" if leaf in ("scale", "embedding") else leaf
+
+        if mod[:1] == ("vision_model",):
+            sub = mod[1:]
+            if sub == ("patch_embedding",):
+                return "owlvit.vision_model.embeddings.patch_embedding.weight", arr
+            name = ".".join(sub).replace("layers_", "encoder.layers.")
+            for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+                name = name.replace(f".{proj}", f".self_attn.{proj}")
+            name = name.replace(".fc1", ".mlp.fc1").replace(".fc2", ".mlp.fc2")
+            return f"owlvit.vision_model.{name}.{tleaf}", arr
+        if mod[:1] == ("text_model",):
+            sub = mod[1:]
+            if sub == ("text_projection",):
+                return "owlvit.text_projection.weight", arr
+            if sub == ("token_embedding",):
+                return "owlvit.text_model.embeddings.token_embedding.weight", arr
+            name = ".".join(sub).replace("layers_", "encoder.layers.")
+            for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+                name = name.replace(f".{proj}", f".self_attn.{proj}")
+            name = name.replace(".fc1", ".mlp.fc1").replace(".fc2", ".mlp.fc2")
+            return f"owlvit.text_model.{name}.{tleaf}", arr
+        if mod == ("merged_layer_norm",):
+            return f"layer_norm.{tleaf}", arr
+        if mod in head_inv:
+            return f"{head_inv[mod]}.{tleaf}", arr
+        raise AssertionError(path)
+
+    sd = {}
+    for path, leafshape in want.items():
+        if path == ("vision_model", "class_embedding"):
+            sd["owlvit.vision_model.embeddings.class_embedding"] = (
+                rng.randn(*leafshape.shape).astype(np.float32))
+        elif path == ("vision_model", "position_embedding"):
+            sd["owlvit.vision_model.embeddings.position_embedding.weight"] = (
+                rng.randn(*leafshape.shape).astype(np.float32))
+        elif path == ("text_model", "position_embedding"):
+            sd["owlvit.text_model.embeddings.position_embedding.weight"] = (
+                rng.randn(*leafshape.shape).astype(np.float32))
+        else:
+            name, arr = hf_name_and_arr(path, leafshape.shape)
+            sd[name] = arr
+    # contrastive-path extras that must be ignored cleanly
+    sd["owlvit.visual_projection.weight"] = rng.randn(
+        cfg.embed_dim, cfg.vision.hidden_size).astype(np.float32)
+    sd["owlvit.logit_scale"] = np.array(2.65926, np.float32)
+
+    got = traverse_util.flatten_dict(convert_detector_state_dict(sd))
+    assert set(got) == set(want), (set(want) - set(got), set(got) - set(want))
+    for p in want:
+        assert tuple(got[p].shape) == tuple(want[p].shape), p
+    # converted params must actually run and respond to the text query
+    params = traverse_util.unflatten_dict(got)
+    boxes, scores = det.apply({"params": params}, img, ids)
+    assert bool(jnp.all(jnp.isfinite(boxes))) and bool(jnp.all(jnp.isfinite(scores)))
+    _, scores2 = det.apply({"params": params}, img, ids.at[0, 3].set(123))
+    assert float(jnp.max(jnp.abs(scores - scores2))) > 1e-7
+
+
+def test_box_bias_centers():
+    """The static OWL-ViT box bias puts sigmoid(bias) at the upstream
+    normalized (col+1,row+1)/g 'centers' and 1/g sizes."""
+    from tweediemix_tpu.segmentation.detector import _box_bias
+
+    g = 4
+    bias = _box_bias(g)
+    back = 1.0 / (1.0 + np.exp(-bias))
+    # first patch (row 0, col 0) → (1/g, 1/g); last → (1, 1)
+    np.testing.assert_allclose(back[0, :2], [1 / g, 1 / g], atol=1e-3)
+    np.testing.assert_allclose(back[-1, :2], [1.0, 1.0], atol=1e-3)
+    np.testing.assert_allclose(back[:, 2:], 1 / g, atol=1e-3)
+
+
+def test_cli_sam_preset_fails_fast_without_weights(tmp_path):
+    """preset 'sam' with no weights must die at startup, not mid-trajectory."""
+    import pytest as _pytest
+
+    from tweediemix_tpu.cli.fusion_sampling import main
+
+    with _pytest.raises(FileNotFoundError):
+        main([
+            "--model_preset", "tiny",
+            "--prompt", "a cat+bg",
+            "--prompt_orig", "a cat",
+            "--concepts", "cat+bg",
+            "--modifier_token", "<a>+<b>",
+            "--seg_concepts", "a cat",
+            "--seg_preset", "sam",
+            "--output_path", str(tmp_path / "out"),
+            "--n_timesteps", "2", "--t_cond", "0.5",
+            "--resolution_h", "128", "--resolution_w", "128",
+        ])
+
+
 def test_vit_rel_pos_bias():
     """Zero rel-pos tables reproduce the no-bias path; nonzero tables
     change the output (SAM decomposed relative positions)."""

@@ -110,6 +110,102 @@ def test_position_ramp():
         np.testing.assert_allclose(np.asarray(lat[0, i + 1]), scale, rtol=1e-6)
 
 
+def test_convert_unet3d_roundtrip_tiny():
+    """Synthesize a diffusers I2VGenXLUNet-style state dict for the tiny
+    config and check the converted tree covers the flax init tree exactly
+    (the ali-vilab/i2vgen-xl conversion path at tiny scale)."""
+    import re
+
+    from flax import traverse_util
+
+    from tweediemix_tpu.models.convert import convert_unet3d_state_dict
+
+    cfg = UNet3DConfig.tiny()
+    model = UNet3DConditionModel(cfg)
+    b, f, h, w = 1, 2, 8, 8
+    args = (
+        jnp.zeros((b, f, h, w, 4)), jnp.int32(1),
+        jnp.zeros((b, 6, cfg.cross_attention_dim)),
+        jnp.zeros((b, f, h, w, 4)),
+        jnp.zeros((b, 1, cfg.cross_attention_dim)),
+        jnp.float32(8.0),
+    )
+    want = traverse_util.flatten_dict(
+        jax.eval_shape(model.init, jax.random.PRNGKey(0), *args)["params"]
+    )
+
+    rng = np.random.RandomState(0)
+    top_inv = {
+        "image_latents_proj_in_conv1": "image_latents_proj_in.0",
+        "image_latents_proj_in_conv2": "image_latents_proj_in.2",
+        "image_latents_proj_in_conv3": "image_latents_proj_in.4",
+        "image_latents_context_embedding_conv1": "image_latents_context_embedding.0",
+        "image_latents_context_embedding_conv2": "image_latents_context_embedding.3",
+        "image_latents_context_embedding_conv3": "image_latents_context_embedding.5",
+    }
+
+    def inv_top(top):
+        m = re.match(r"(down_blocks|up_blocks)_(\d+)_([a-z_]+)_(\d+)$", top)
+        if m:
+            return f"{m.group(1)}.{m.group(2)}.{m.group(3)}.{m.group(4)}"
+        m = re.match(r"mid_block_([a-z_]+)_(\d+)$", top)
+        if m:
+            return f"mid_block.{m.group(1)}.{m.group(2)}"
+        return top_inv.get(top, top)
+
+    sd = {}
+    for path, leafshape in want.items():
+        shape = leafshape.shape
+        mod, leaf = list(path[:-1]), path[-1]
+        top = mod[0]
+        mod[0] = inv_top(top)
+        name = ".".join(mod)
+        name = name.replace("transformer_blocks_0", "transformer_blocks.0")
+        name = name.replace("net_0_proj", "net.0.proj").replace("net_2", "net.2")
+        name = name.replace("to_out_0", "to_out.0")
+        # HF uses nn.Sequential indices for these two MLPs
+        name = name.replace("context_embedding.linear_1", "context_embedding.0")
+        name = name.replace("context_embedding.linear_2", "context_embedding.2")
+        name = name.replace("fps_embedding.linear_1", "fps_embedding.0")
+        name = name.replace("fps_embedding.linear_2", "fps_embedding.2")
+        if "temp_convs" in name:
+            name = re.sub(r"norm(\d)$", r"conv\1.0", name)
+            name = re.sub(
+                r"conv(\d)$",
+                lambda mm: f"conv{mm.group(1)}." + ("2" if mm.group(1) == "1" else "3"),
+                name,
+            )
+
+        spatial_attn = ("attentions" in top and "temp_attentions" not in top)
+        if leaf == "kernel":
+            tleaf = "weight"
+            if len(shape) == 5:  # temporal conv [3,1,1,I,O] → Conv3d [O,I,3,1,1]
+                arr = rng.randn(shape[4], shape[3], shape[0], shape[1], shape[2])
+            elif len(shape) == 4:  # spatial conv [kh,kw,I,O] → [O,I,kh,kw]
+                arr = rng.randn(shape[3], shape[2], shape[0], shape[1])
+            elif spatial_attn and path[-2] in ("proj_in", "proj_out"):
+                # upstream use_linear_projection=False: 1x1 conv
+                arr = rng.randn(shape[1], shape[0], 1, 1)
+            else:  # linear
+                arr = rng.randn(shape[1], shape[0])
+        elif leaf == "scale":
+            tleaf = "weight"
+            arr = rng.randn(*shape)
+        else:
+            tleaf = leaf
+            arr = rng.randn(*shape)
+        sd[f"{name}.{tleaf}"] = arr.astype(np.float32)
+
+    got = traverse_util.flatten_dict(convert_unet3d_state_dict(sd))
+    assert set(got) == set(want), (set(want) - set(got), set(got) - set(want))
+    for p in want:
+        assert tuple(got[p].shape) == tuple(want[p].shape), p
+    # converted params must actually run
+    out = model.apply({"params": traverse_util.unflatten_dict(got)}, *args)
+    assert out.shape == (b, f, h, w, 4)
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
 def test_run_video_cli_end_to_end(tmp_path):
     from PIL import Image
 

@@ -32,7 +32,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sd_version", type=str, default="xl", choices=["xl"],
                    help="model family (the TPU rebuild targets SDXL)")
     p.add_argument("--t_cond", type=float, default=0.4)
-    p.add_argument("--t_stop", type=float, default=1.0)
+    p.add_argument("--t_stop", type=float, default=None,
+                   help="LoRA fusion window end (default 0.9 in --mode lora, "
+                        "matching fusion_sampling_lora.py:547; unused in cd)")
     p.add_argument("--guidance_scale", type=float, default=9.0)
     p.add_argument("--n_timesteps", type=int, default=50)
     p.add_argument("--prompt", type=str, default="")
@@ -58,6 +60,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seg_preset", type=str, default="heuristic",
                    choices=["heuristic", "sam-random", "sam"],
                    help="in-process segmentation stage when no --mask_dir")
+    p.add_argument("--sam_checkpoint", type=str, default=None,
+                   help="segment-anything ViT-H checkpoint (.pth/safetensors) "
+                        "for --seg_preset sam")
+    p.add_argument("--detector_dir", type=str, default=None,
+                   help="HF-layout OWL-ViT detection dir for --seg_preset sam")
+    p.add_argument("--box_threshold", type=float, default=0.20,
+                   help="detector score threshold (lang_sam.py predict)")
     p.add_argument("--profile", type=str, default=None,
                    help="directory for a jax.profiler trace + phase timings")
     p.add_argument("--num_seeds", type=int, default=1,
@@ -169,6 +178,9 @@ def main(argv=None) -> int:
             {"unet": {}, "modifier_token": {}, "modifier_token_2": {}} for _ in range(n)
         ]
 
+    if opt.t_stop is None:
+        # reference default: fusion_sampling_lora.py:547 uses 0.9
+        opt.t_stop = 0.9 if opt.mode == "lora" else 1.0
     fcfg = FusionConfig(
         n_timesteps=opt.n_timesteps,
         guidance_scale=opt.guidance_scale,
@@ -183,12 +195,14 @@ def main(argv=None) -> int:
 
     segment_fn = None
     if opt.mask_dir is None and opt.seg_concepts:
-        try:
-            from tweediemix_tpu.segmentation import make_segment_fn
+        # fail fast: without masks the sampler would die mid-trajectory
+        from tweediemix_tpu.segmentation import make_segment_fn
 
-            segment_fn = make_segment_fn(opt.seg_concepts, opt.output_path, opt.seg_preset)
-        except Exception as e:  # segmentation model not available
-            print(f"segmentation unavailable ({e}); supply --mask_dir", file=sys.stderr)
+        segment_fn = make_segment_fn(
+            opt.seg_concepts, opt.output_path, opt.seg_preset,
+            sam_checkpoint=opt.sam_checkpoint, detector_dir=opt.detector_dir,
+            box_threshold=opt.box_threshold,
+        )
 
     pipe = TweedieMixPipeline.from_concept_checkpoints(
         base_unet_params=uparams,

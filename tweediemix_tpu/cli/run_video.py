@@ -55,42 +55,63 @@ def main(argv=None) -> int:
     from tweediemix_tpu.video.pipeline import I2VPipeline, VideoConfig, export_gif
 
     key = jax.random.PRNGKey(opt.seed)
+    f = opt.num_frames
     if opt.model_preset == "tiny" or opt.model_dir is None:
         tcfg = CLIPTextConfig.tiny()
         vcfg_clip = CLIPVisionConfig.tiny(projection_dim=tcfg.hidden_size)
         ucfg = UNet3DConfig.tiny(cross_attention_dim=tcfg.hidden_size)
         vcfg = VAEConfig.tiny()
         tok = HashTokenizer(tcfg.vocab_size)
+
+        text = CLIPTextModel(tcfg)
+        vision = CLIPVisionModel(vcfg_clip)
+        unet = UNet3DConditionModel(ucfg)
+        vae = AutoencoderKL(vcfg)
+
+        tparams = jax.jit(text.init)(key, jnp.zeros((1, 77), jnp.int32))["params"]
+        visparams = jax.jit(vision.init)(
+            jax.random.fold_in(key, 1),
+            jnp.zeros((1, vcfg_clip.image_size, vcfg_clip.image_size, 3)),
+        )["params"]
+        vparams = jax.jit(vae.init)(
+            jax.random.fold_in(key, 2), jnp.zeros((1, 16, 16, 3)), jax.random.PRNGKey(0)
+        )["params"]
+        latent_factor = 2 ** (len(vcfg.block_out_channels) - 1)
+        h, w = opt.height // latent_factor, opt.width // latent_factor
+        uparams = jax.jit(unet.init)(
+            jax.random.fold_in(key, 3),
+            jnp.zeros((1, f, h, w, 4)), jnp.int32(1),
+            jnp.zeros((1, 8, ucfg.cross_attention_dim)),
+            jnp.zeros((1, f, h, w, 4)),
+            jnp.zeros((1, 1, ucfg.cross_attention_dim)),
+            jnp.float32(8.0),
+        )["params"]
     else:
-        raise NotImplementedError(
-            "local i2vgen checkpoint conversion lands in a later round; "
-            "use --model_preset tiny"
+        # local HF-layout ali-vilab/i2vgen-xl dir (run_video.py:21-22)
+        from tweediemix_tpu.models.convert import (
+            load_clip_params,
+            load_clip_vision_params,
+            load_unet3d_params,
+            load_vae_params,
         )
+        from tweediemix_tpu.utils.tokenizer import CLIPBPETokenizer
 
-    text = CLIPTextModel(tcfg)
-    vision = CLIPVisionModel(vcfg_clip)
-    unet = UNet3DConditionModel(ucfg)
-    vae = AutoencoderKL(vcfg)
+        d = opt.model_dir
+        ucfg = UNet3DConfig.i2vgen(dtype=jnp.bfloat16)
+        uparams = load_unet3d_params(os.path.join(d, "unet"), dtype=jnp.bfloat16)
+        vcfg = VAEConfig(scaling_factor=0.18215)
+        vparams = load_vae_params(os.path.join(d, "vae"))
+        tcfg = CLIPTextConfig.i2vgen_text_encoder(dtype=jnp.bfloat16)
+        tparams = load_clip_params(os.path.join(d, "text_encoder"))
+        vcfg_clip = CLIPVisionConfig.vit_h(dtype=jnp.bfloat16)
+        visparams = load_clip_vision_params(os.path.join(d, "image_encoder"))
+        tok = CLIPBPETokenizer.from_dir(os.path.join(d, "tokenizer"))
 
-    tparams = jax.jit(text.init)(key, jnp.zeros((1, 77), jnp.int32))["params"]
-    visparams = jax.jit(vision.init)(
-        jax.random.fold_in(key, 1),
-        jnp.zeros((1, vcfg_clip.image_size, vcfg_clip.image_size, 3)),
-    )["params"]
-    vparams = jax.jit(vae.init)(
-        jax.random.fold_in(key, 2), jnp.zeros((1, 16, 16, 3)), jax.random.PRNGKey(0)
-    )["params"]
-    f = opt.num_frames
-    latent_factor = 2 ** (len(vcfg.block_out_channels) - 1)
-    h, w = opt.height // latent_factor, opt.width // latent_factor
-    uparams = jax.jit(unet.init)(
-        jax.random.fold_in(key, 3),
-        jnp.zeros((1, f, h, w, 4)), jnp.int32(1),
-        jnp.zeros((1, 8, ucfg.cross_attention_dim)),
-        jnp.zeros((1, f, h, w, 4)),
-        jnp.zeros((1, 1, ucfg.cross_attention_dim)),
-        jnp.float32(8.0),
-    )["params"]
+        text = CLIPTextModel(tcfg)
+        vision = CLIPVisionModel(vcfg_clip)
+        unet = UNet3DConditionModel(ucfg)
+        vae = AutoencoderKL(vcfg)
+        latent_factor = 2 ** (len(vcfg.block_out_channels) - 1)
 
     vcfg_run = VideoConfig(
         n_timesteps=opt.n_timesteps, guidance_scale=opt.guidance_scale,
@@ -100,19 +121,25 @@ def main(argv=None) -> int:
     )
     pipe = I2VPipeline(vcfg_run, unet, uparams, vae, vparams)
 
-    # text conditioning
-    encode = jax.jit(lambda p, ids: text.apply({"params": p}, ids)[0])
+    # text conditioning: i2vgen uses the final-LN last hidden state
+    # (pipeline_i2vgen_xl.py encode_prompt, clip_skip=None)
+    encode = jax.jit(lambda p, ids: text.apply({"params": p}, ids)[1])
     ids_c = jnp.asarray(tok([opt.prompt]), jnp.int32)
     ids_u = jnp.asarray(tok([opt.negative_prompt]), jnp.int32)
     ctx_c = encode(tparams, ids_c)
     ctx_u = encode(tparams, ids_u)
 
-    # image conditioning
+    # image conditioning: VAE path in [-1,1]; CLIP path normalized with
+    # CLIP stats (pipeline_i2vgen_xl.py:_encode_image, do_normalize=True)
+    from tweediemix_tpu.models.clip import CLIP_IMAGE_MEAN, CLIP_IMAGE_STD
+
     img = Image.open(opt.image).convert("RGB").resize((opt.width, opt.height))
-    arr = jnp.asarray(np.asarray(img, np.float32) / 127.5 - 1.0)[None]
+    img01 = jnp.asarray(np.asarray(img, np.float32) / 255.0)[None]
+    arr = img01 * 2.0 - 1.0
     clip_in = jax.image.resize(
-        arr, (1, vcfg_clip.image_size, vcfg_clip.image_size, 3), "bilinear"
+        img01, (1, vcfg_clip.image_size, vcfg_clip.image_size, 3), "bilinear"
     )
+    clip_in = (clip_in - jnp.asarray(CLIP_IMAGE_MEAN)) / jnp.asarray(CLIP_IMAGE_STD)
     img_emb = vision.apply({"params": visparams}, clip_in)[:, None, :]
 
     video = pipe.generate(ctx_c, ctx_u, arr, img_emb, seed=opt.seed)

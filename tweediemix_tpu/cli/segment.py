@@ -21,6 +21,11 @@ def build_parser():
     p.add_argument("--output_path", type=str, required=True)
     p.add_argument("--seg_preset", type=str, default="sam-random",
                    choices=["heuristic", "sam-random", "sam"])
+    p.add_argument("--sam_checkpoint", type=str, default=None,
+                   help="segment-anything ViT-H checkpoint for --seg_preset sam")
+    p.add_argument("--detector_dir", type=str, default=None,
+                   help="HF-layout OWL-ViT detection dir for --seg_preset sam")
+    p.add_argument("--box_threshold", type=float, default=0.20)
     return p
 
 
@@ -37,7 +42,10 @@ def main(argv=None) -> int:
     img = Image.open(opt.input_path).convert("RGB")
     arr = jnp.asarray(np.asarray(img, np.float32) / 255.0)
 
-    seg = make_segment_fn(opt.text_condition, opt.output_path, opt.seg_preset)
+    seg = make_segment_fn(opt.text_condition, opt.output_path, opt.seg_preset,
+                          sam_checkpoint=opt.sam_checkpoint,
+                          detector_dir=opt.detector_dir,
+                          box_threshold=opt.box_threshold)
     masks = seg(arr[None]) if opt.seg_preset == "heuristic" else seg(arr)
 
     for name, m in zip(opt.text_condition.split("+"), masks):

@@ -26,6 +26,11 @@ import numpy as np
 from flax import traverse_util
 
 
+# CLIP image-preprocessing statistics (CLIPImageProcessor defaults)
+CLIP_IMAGE_MEAN = (0.48145466, 0.4578275, 0.40821073)
+CLIP_IMAGE_STD = (0.26862954, 0.26130258, 0.27577711)
+
+
 @dataclasses.dataclass(frozen=True)
 class CLIPTextConfig:
     vocab_size: int = 49408
@@ -50,6 +55,16 @@ class CLIPTextConfig:
         defaults = dict(
             hidden_size=1280, intermediate_size=5120, num_layers=32,
             num_heads=20, hidden_act="gelu", projection_dim=1280,
+        )
+        defaults.update(kw)
+        return CLIPTextConfig(**defaults)
+
+    @staticmethod
+    def i2vgen_text_encoder(**kw) -> "CLIPTextConfig":
+        """OpenCLIP ViT-H/14 text tower (ali-vilab/i2vgen-xl text_encoder)."""
+        defaults = dict(
+            hidden_size=1024, intermediate_size=4096, num_layers=24,
+            num_heads=16, hidden_act="gelu",
         )
         defaults.update(kw)
         return CLIPTextConfig(**defaults)
@@ -156,6 +171,15 @@ class CLIPVisionConfig:
     hidden_act: str = "quick_gelu"
     projection_dim: Optional[int] = 1024
     dtype: jnp.dtype = jnp.float32
+
+    @staticmethod
+    def vit_h(**kw) -> "CLIPVisionConfig":
+        """OpenCLIP ViT-H/14 image tower (ali-vilab/i2vgen-xl image_encoder)."""
+        defaults = dict(hidden_size=1280, intermediate_size=5120,
+                        num_layers=32, num_heads=16, patch_size=14,
+                        hidden_act="gelu", projection_dim=1024)
+        defaults.update(kw)
+        return CLIPVisionConfig(**defaults)
 
     @staticmethod
     def tiny(**kw) -> "CLIPVisionConfig":

@@ -275,6 +275,152 @@ def load_clip_vision_params(enc_dir: str, dtype=np.float32) -> Dict:
     return convert_clip_vision_state_dict(load_torch_state_dict(enc_dir), dtype=dtype)
 
 
+def _unet3d_rename(name: str) -> str:
+    """diffusers ``I2VGenXLUNet`` param name → our flax dotted path."""
+    name = re.sub(
+        r"(down_blocks|up_blocks)\.(\d+)\.(resnets|attentions|temp_convs|"
+        r"temp_attentions|downsamplers|upsamplers)\.(\d+)",
+        r"\1_\2_\3_\4", name)
+    name = re.sub(r"mid_block\.(resnets|attentions|temp_convs|temp_attentions)\.(\d+)",
+                  r"mid_block_\1_\2", name)
+    name = re.sub(r"transformer_blocks\.(\d+)", r"transformer_blocks_\1", name)
+    name = name.replace("ff.net.0.proj", "ff.net_0_proj").replace("ff.net.2", "ff.net_2")
+    name = name.replace("to_out.0", "to_out_0")
+    # TemporalConvLayer stages: convK.0 = GroupNorm → normK; the conv sits at
+    # Sequential index 2 (stage 1) or 3 (stages 2-4, after Dropout)
+    name = re.sub(r"\.conv(\d)\.0\.", r".norm\1.", name)
+    name = re.sub(r"\.conv(\d)\.(?:2|3)\.", r".conv\1.", name)
+    # conditioning stacks (HF nn.Sequential indices)
+    for hf, ours in (
+        ("image_latents_proj_in.0", "image_latents_proj_in_conv1"),
+        ("image_latents_proj_in.2", "image_latents_proj_in_conv2"),
+        ("image_latents_proj_in.4", "image_latents_proj_in_conv3"),
+        ("image_latents_context_embedding.0", "image_latents_context_embedding_conv1"),
+        ("image_latents_context_embedding.3", "image_latents_context_embedding_conv2"),
+        ("image_latents_context_embedding.5", "image_latents_context_embedding_conv3"),
+        ("context_embedding.0", "context_embedding.linear_1"),
+        ("context_embedding.2", "context_embedding.linear_2"),
+        ("fps_embedding.0", "fps_embedding.linear_1"),
+        ("fps_embedding.2", "fps_embedding.linear_2"),
+    ):
+        name = name.replace(hf + ".", ours + ".")
+    return name
+
+
+def convert_unet3d_state_dict(sd: Dict[str, np.ndarray], dtype=None) -> Dict:
+    """diffusers ``I2VGenXLUNet`` (ali-vilab/i2vgen-xl) → our
+    ``UNet3DConditionModel`` params.
+
+    Handles: temporal Conv3d [O,I,3,1,1] → length-3 conv1d kernels; the
+    spatial transformers' 1x1-conv proj_in/proj_out (use_linear_projection
+    =False upstream) → linear kernels; the usual linear/conv transposes."""
+    out = {}
+    for name, arr in sd.items():
+        name = _unet3d_rename(name)
+        parts = name.split(".")
+        leaf = parts[-1]
+        if leaf == "weight":
+            if arr.ndim == 1:
+                leaf = "scale"
+            else:
+                leaf = "kernel"
+                if arr.ndim == 5:  # Conv3d [O,I,3,1,1] → [3,1,1,I,O]
+                    arr = arr.transpose(2, 3, 4, 1, 0)
+                elif arr.ndim == 4:
+                    if parts[-2] in ("proj_in", "proj_out") and arr.shape[-2:] == (1, 1):
+                        arr = arr[:, :, 0, 0].T
+                    else:
+                        arr = arr.transpose(2, 3, 1, 0)
+                elif arr.ndim == 2:
+                    arr = arr.T
+        if dtype is not None and arr.dtype in (np.float32, np.float16):
+            arr = arr.astype(dtype)
+        out[tuple(parts[:-1]) + (leaf,)] = jnp.asarray(arr)
+    return traverse_util.unflatten_dict(out)
+
+
+def load_unet3d_params(unet_dir: str, dtype=np.float32) -> Dict:
+    """Load an HF-layout I2VGen-XL UNet checkpoint dir."""
+    return convert_unet3d_state_dict(load_torch_state_dict(unet_dir), dtype=dtype)
+
+
+_OWLVIT_VISION_LAYER = re.compile(r"vision_model\.encoder\.layers\.(\d+)\.")
+
+
+def convert_detector_state_dict(sd: Dict[str, np.ndarray], dtype=None) -> Dict:
+    """HF ``OwlViTForObjectDetection`` → our ``TextBoxDetector`` params.
+
+    The detection path uses: vision tower, text tower + text_projection,
+    the merged-feature layernorm (HF ``layer_norm``), class head and box
+    head. ``owlvit.visual_projection`` and the global ``owlvit.logit_scale``
+    belong to the contrastive-pretraining path and are dropped."""
+    out = {}
+    text_sd = {}
+    head_map = {
+        "class_head.dense0": ("class_head_dense0",),
+        "class_head.logit_shift": ("logit_shift",),
+        "class_head.logit_scale": ("logit_scale",),
+        "box_head.dense0": ("box_head_dense0",),
+        "box_head.dense1": ("box_head_dense1",),
+        "box_head.dense2": ("box_head_dense2",),
+    }
+    for name, arr in sd.items():
+        if name.startswith("owlvit."):
+            name = name[len("owlvit."):]
+        if name.startswith("text_model.") or name == "text_projection.weight":
+            text_sd[name] = arr
+            continue
+        if name.startswith("vision_model."):
+            rest = name[len("vision_model."):]
+            if rest.startswith("embeddings.patch_embedding"):
+                out[("vision_model", "patch_embedding", "kernel")] = arr.transpose(2, 3, 1, 0)
+            elif rest.startswith("embeddings.class_embedding"):
+                out[("vision_model", "class_embedding")] = arr.reshape(-1)
+            elif rest.startswith("embeddings.position_embedding"):
+                out[("vision_model", "position_embedding")] = arr
+            elif rest.startswith(("pre_layernorm", "pre_layrnorm", "post_layernorm")):
+                mod = "pre_layernorm" if rest.startswith("pre_lay") else "post_layernorm"
+                leaf = "scale" if rest.endswith("weight") else "bias"
+                out[("vision_model", mod, leaf)] = arr
+            else:
+                m = _OWLVIT_VISION_LAYER.match(name)
+                if m:
+                    r = name[m.end():].replace("self_attn.", "").replace("mlp.", "")
+                    parts = r.split(".")
+                    leaf, mod = parts[-1], parts[0]
+                    if leaf == "weight":
+                        leaf = "scale" if arr.ndim == 1 else "kernel"
+                        if arr.ndim == 2:
+                            arr = arr.T
+                    out[("vision_model", f"layers_{m.group(1)}", mod, leaf)] = arr
+            continue
+        if name.startswith("layer_norm."):
+            leaf = "scale" if name.endswith("weight") else "bias"
+            out[("merged_layer_norm", leaf)] = arr
+            continue
+        for hf_name, path in head_map.items():
+            if name.startswith(hf_name + "."):
+                leaf = "kernel" if name.endswith("weight") else "bias"
+                out[path + (leaf,)] = arr.T if leaf == "kernel" else arr
+                break
+        # else: visual_projection / logit_scale / buffers are dropped
+
+    for path, arr in traverse_util.flatten_dict(
+        convert_clip_state_dict(text_sd)
+    ).items():
+        out[("text_model",) + path] = arr
+
+    if dtype is not None:
+        out = {k: (v.astype(dtype) if v.dtype in (np.float32, np.float16) else v)
+               for k, v in out.items()}
+    return traverse_util.unflatten_dict({k: jnp.asarray(v) for k, v in out.items()})
+
+
+def load_detector_params(det_dir: str, dtype=np.float32) -> Dict:
+    """Load an HF-layout OWL-ViT detection checkpoint dir."""
+    return convert_detector_state_dict(load_torch_state_dict(det_dir), dtype=dtype)
+
+
 def load_unet_params(unet_dir: str, dtype=np.float32) -> Dict:
     return convert_unet_state_dict(load_torch_state_dict(unet_dir), dtype=dtype)
 

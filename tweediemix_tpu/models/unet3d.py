@@ -1,27 +1,35 @@
-"""Flax video UNet for image-to-video generation (I2VGen-XL stage).
+"""Flax video UNet for image-to-video generation — I2VGen-XL compatible.
 
-A TPU-first redesign of the UNet behind the reference's modified I2VGen-XL
-pipeline (``video_gen/pipeline_i2vgen_xl.py``; model loaded from HF at
-``run_video.py:21-22``). Same conditioning contract as the reference UNet:
+The reference's video stage is diffusers' ``I2VGenXLUNet`` loaded from the
+``ali-vilab/i2vgen-xl`` checkpoint plus runtime resnet patches
+(``run_video.py:21-22``, ``video_gen/utils_attn.py:389-474``). This module
+is the same network in NHWC flax — structurally faithful so the HF
+checkpoint converts with a rename+transpose pass
+(``models/convert.py:convert_unet3d_state_dict``) — with the reference's
+first-frame feature injection as a *function argument* instead of a
+runtime patch:
+
+* ``inject_copy`` hard-copies frame-0 features to all frames at the output
+  of the two mid-block resnets (``utils_attn.py:462-466``);
+* ``inject_interp``/``interp_ratio`` blends them at the output of
+  ``up_blocks[1].resnets[0]`` (``utils_attn.py:470-474``).
+
+Conditioning contract (diffusers ``I2VGenXLUNet.forward``):
 
 * ``sample`` [B, F, h, w, 4] noisy video latents;
+* ``encoder_hidden_states`` [B, S, 1024] text context;
 * ``image_latents`` [B, F, h, w, 4]: frame 0 = VAE latent of the
   conditioning image, frames 1..F-1 = the linear frame-position ramp
-  (``pipeline_i2vgen_xl.py:421-451``) — concatenated on channels at conv_in;
-* ``image_embeddings`` [B, 1, D]: CLIP image embedding, appended to the
-  text context as an extra cross-attention token (``:300-330``);
-* ``fps`` scalar conditioning added to the time embedding (``:640-646``);
-* first-frame feature injection is a *function argument* instead of the
-  reference's runtime resnet patch (``video_gen/utils_attn.py:389-474``):
-  ``inject_copy`` hard-copies frame-0 features to all frames after the mid
-  resnets, ``inject_interp``/``interp_ratio`` blends them after the first
-  resnet of up level 1.
+  (``pipeline_i2vgen_xl.py:421-451``). Frame 0 also feeds the
+  context-token conv stack; the whole tensor runs through a projection +
+  temporal encoder and is concatenated on channels at ``conv_in``;
+* ``image_embeddings`` [B, 1, 1024] CLIP image embedding → 4 extra
+  context tokens via ``context_embedding``;
+* ``fps`` scalar conditioning added to the time embedding.
 
-Internally each level runs: spatial resnet (frames folded into batch) →
-temporal conv (1D over frames, zero-init final conv so temporal layers
-start as identity) → spatial transformer → temporal transformer
-(cross-frame attention, the temporal-consistency primitive). Channel/level
-layout mirrors I2VGen-XL (320/640/1280/1280, heads = ch/64, ctx 1024).
+Each level runs spatial resnet → temporal conv (4-stage, zero-init final)
+→ spatial transformer → temporal transformer, frames folded into the
+batch for spatial ops and into the pixel axis for temporal ones.
 """
 
 from __future__ import annotations
@@ -30,16 +38,18 @@ import dataclasses
 from typing import Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from tweediemix_tpu.models.embeddings import TimestepEmbedding, timestep_embedding
 from tweediemix_tpu.models.unet2d import (
+    Attention,
     Downsample2D,
+    FeedForward,
     ResnetBlock2D,
     Transformer2DModel,
     Upsample2D,
 )
-from tweediemix_tpu.ops.attention import multi_head_attention
 
 
 @dataclasses.dataclass(frozen=True)
@@ -57,6 +67,7 @@ class UNet3DConfig:
     attention_head_dim: int = 64
     cross_attention_dim: int = 1024
     norm_num_groups: int = 32
+    context_pool_size: int = 32  # AdaptiveAvgPool2d target in the ctx conv stack
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -83,6 +94,7 @@ class UNet3DConfig:
             attention_head_dim=16,
             cross_attention_dim=32,
             norm_num_groups=8,
+            context_pool_size=4,
         )
         defaults.update(kw)
         return UNet3DConfig(**defaults)
@@ -99,8 +111,37 @@ def unfold_frames(x, b):
     return x.reshape(b, bf // b, h, w, c)
 
 
-class TemporalConv(nn.Module):
-    """Two GN→SiLU→conv1d-over-frames blocks, residual, zero-init out."""
+def _to_pixel_seq(x):
+    """[B, F, H, W, C] → ([B*H*W, F, C], (b, h, w)) for temporal ops."""
+    b, f, h, w, c = x.shape
+    return x.transpose(0, 2, 3, 1, 4).reshape(b * h * w, f, c), (b, h, w)
+
+
+def _from_pixel_seq(y, shape):
+    b, h, w = shape
+    bhw, f, c = y.shape
+    return y.reshape(b, h, w, f, c).transpose(0, 3, 1, 2, 4)
+
+
+class MLPEmbedding(nn.Module):
+    """linear_1 → SiLU → linear_2 with distinct dims (HF nn.Sequential
+    ``context_embedding``: Linear(ctx, temb) → SiLU → Linear(temb, 4*ctx))."""
+
+    hidden_dim: int
+    out_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="linear_1")(x)
+        x = nn.silu(x)
+        return nn.Dense(self.out_dim, dtype=self.dtype, name="linear_2")(x)
+
+
+class TemporalConvLayer(nn.Module):
+    """diffusers ``TemporalConvLayer``: four GN→SiLU→conv1d-over-frames
+    stages with a single residual; the final conv is zero-initialized so
+    the layer starts as identity."""
 
     channels: int
     norm_num_groups: int
@@ -108,43 +149,104 @@ class TemporalConv(nn.Module):
 
     @nn.compact
     def __call__(self, x):  # [B, F, H, W, C]
-        b, f, h, w, c = x.shape
-        res = x
-        # frames on a conv axis: [B, H, W, F, C] → Conv over F
-        y = x.transpose(0, 2, 3, 1, 4).reshape(b * h * w, f, c)
-        y = nn.GroupNorm(num_groups=self.norm_num_groups, epsilon=1e-5, dtype=self.dtype, name="norm1")(y)
-        y = nn.silu(y)
-        y = nn.Conv(self.channels, (3,), padding=((1, 1),), dtype=self.dtype, name="conv1")(y)
-        y = nn.GroupNorm(num_groups=self.norm_num_groups, epsilon=1e-5, dtype=self.dtype, name="norm2")(y)
-        y = nn.silu(y)
-        y = nn.Conv(
-            self.channels, (3,), padding=((1, 1),), dtype=self.dtype,
-            kernel_init=nn.initializers.zeros, name="conv2",
-        )(y)
-        y = y.reshape(b, h, w, f, c).transpose(0, 3, 1, 2, 4)
-        return res + y
+        # GroupNorm runs on the full 5-D tensor so statistics reduce over
+        # (F, H, W, C/g) per sample — matching torch GN on [B, C, F, H, W].
+        y = x
+        for i in range(1, 5):
+            y = nn.GroupNorm(num_groups=self.norm_num_groups, epsilon=1e-5,
+                             dtype=self.dtype, name=f"norm{i}")(y)
+            y = nn.silu(y)
+            y = nn.Conv(
+                self.channels, (3, 1, 1),
+                padding=((1, 1), (0, 0), (0, 0)), dtype=self.dtype,
+                kernel_init=nn.initializers.zeros if i == 4 else nn.initializers.lecun_normal(),
+                name=f"conv{i}",
+            )(y)
+        return x + y
 
 
-class TemporalAttention(nn.Module):
-    """Self-attention across the frame axis (cross-frame attention)."""
+class TemporalBasicBlock(nn.Module):
+    """diffusers ``BasicTransformerBlock`` with ``double_self_attention``:
+    two self-attentions over the frame axis + a GEGLU MLP."""
 
-    channels: int
+    dim: int
     heads: int
+    dim_head: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # [N, F, C]
+        kw = dict(query_dim=self.dim, heads=self.heads, dim_head=self.dim_head,
+                  dtype=self.dtype)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+        x = x + Attention(name="attn1", **kw)(h)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
+        x = x + Attention(name="attn2", **kw)(h)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x)
+        return x + FeedForward(self.dim, dtype=self.dtype, name="ff")(h)
+
+
+class TransformerTemporalModel(nn.Module):
+    """diffusers ``TransformerTemporalModel``: GN over channels, linear in,
+    frame-axis transformer blocks, linear out, residual."""
+
+    in_channels: int
+    heads: int
+    dim_head: int
+    num_layers: int = 1
+    norm_num_groups: int = 32
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):  # [B, F, H, W, C]
-        b, f, h, w, c = x.shape
+        inner = self.heads * self.dim_head
         res = x
-        y = x.transpose(0, 2, 3, 1, 4).reshape(b * h * w, f, c)
-        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(y)
-        q = nn.Dense(c, use_bias=False, dtype=self.dtype, name="to_q")(y)
-        k = nn.Dense(c, use_bias=False, dtype=self.dtype, name="to_k")(y)
-        v = nn.Dense(c, use_bias=False, dtype=self.dtype, name="to_v")(y)
-        o = multi_head_attention(q, k, v, self.heads)
-        o = nn.Dense(c, dtype=self.dtype, kernel_init=nn.initializers.zeros, name="to_out_0")(o)
-        o = o.reshape(b, h, w, f, c).transpose(0, 3, 1, 2, 4)
-        return res + o
+        # full-tensor GN: stats over (F, H, W, C/g) per sample, like torch
+        # GN on the upstream [B, C, F, H, W] layout
+        y = nn.GroupNorm(num_groups=self.norm_num_groups, epsilon=1e-6,
+                         dtype=self.dtype, name="norm")(x)
+        y, shape = _to_pixel_seq(y)
+        y = nn.Dense(inner, dtype=self.dtype, name="proj_in")(y)
+        for i in range(self.num_layers):
+            y = TemporalBasicBlock(
+                dim=inner, heads=self.heads, dim_head=self.dim_head,
+                dtype=self.dtype, name=f"transformer_blocks_{i}",
+            )(y)
+        y = nn.Dense(self.in_channels, dtype=self.dtype, name="proj_out")(y)
+        return res + _from_pixel_seq(y, shape)
+
+
+class GELUFeedForward(nn.Module):
+    """diffusers ``FeedForward(activation_fn='gelu')``: proj → gelu → out."""
+
+    dim: int
+    inner_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.inner_dim, dtype=self.dtype, name="net_0_proj")(x)
+        x = jax.nn.gelu(x, approximate=False)
+        return nn.Dense(self.dim, dtype=self.dtype, name="net_2")(x)
+
+
+class ImageLatentsTemporalEncoder(nn.Module):
+    """``I2VGenXLTransformerTemporalEncoder``: norm1→attn1 (+res), ff (+res),
+    no pre-FF norm (upstream quirk)."""
+
+    dim: int
+    heads: int
+    dim_head: int
+    ff_inner_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # [N, F, C]
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+        x = x + Attention(query_dim=self.dim, heads=self.heads,
+                          dim_head=self.dim_head, dtype=self.dtype, name="attn1")(h)
+        return x + GELUFeedForward(self.dim, self.ff_inner_dim,
+                                   dtype=self.dtype, name="ff")(x)
 
 
 def _inject_first_frame(x, inject_copy, inject_interp, interp_ratio):
@@ -171,7 +273,7 @@ class UNet3DConditionModel(nn.Module):
         timestep,
         encoder_hidden_states: jnp.ndarray,  # [B, S, ctx]
         image_latents: jnp.ndarray,  # [B, F, h, w, 4]
-        image_embeddings: jnp.ndarray,  # [B, 1, ctx]
+        image_embeddings: jnp.ndarray,  # [B, 1, ctx] (or [B, ctx])
         fps: jnp.ndarray,  # [] or [B]
         inject_copy=0.0,
         inject_interp=0.0,
@@ -179,9 +281,13 @@ class UNet3DConditionModel(nn.Module):
     ) -> jnp.ndarray:
         cfg = self.config
         b, f = sample.shape[:2]
+        cin = cfg.in_channels
         timestep = jnp.broadcast_to(jnp.asarray(timestep), (b,))
         fps = jnp.broadcast_to(jnp.asarray(fps, jnp.float32), (b,))
+        if image_embeddings.ndim == 2:
+            image_embeddings = image_embeddings[:, None, :]
 
+        # 1-3. time + fps embeddings (unet_i2vgen_xl.forward steps 1-3)
         t_emb = timestep_embedding(timestep, cfg.block_out_channels[0])
         temb = TimestepEmbedding(cfg.time_embed_dim, dtype=cfg.dtype, name="time_embedding")(
             t_emb.astype(cfg.dtype)
@@ -192,19 +298,64 @@ class UNet3DConditionModel(nn.Module):
         )
         temb_f = jnp.repeat(temb, f, axis=0)  # per folded frame
 
-        # context: text tokens + one image token
-        img_tok = nn.Dense(cfg.cross_attention_dim, dtype=cfg.dtype, name="image_context_proj")(
-            image_embeddings.astype(cfg.dtype)
+        # 4. context tokens: [text, frame-0 conv tokens, 4 image-embed tokens]
+        il0 = image_latents[:, 0].astype(cfg.dtype)  # first frame, raw latent
+        p = cfg.context_pool_size
+        y = nn.Conv(cin * 8, (3, 3), padding=((1, 1), (1, 1)), dtype=cfg.dtype,
+                    name="image_latents_context_embedding_conv1")(il0)
+        y = nn.silu(y)
+        stride = y.shape[1] // p
+        assert stride * p == y.shape[1], (
+            f"latent size {y.shape[1]} must be a multiple of context_pool_size {p}")
+        y = nn.avg_pool(y, (stride, stride), strides=(stride, stride))
+        y = nn.Conv(cin * 16, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                    dtype=cfg.dtype, name="image_latents_context_embedding_conv2")(y)
+        y = nn.silu(y)
+        y = nn.Conv(cfg.cross_attention_dim, (3, 3), strides=(2, 2),
+                    padding=((1, 1), (1, 1)), dtype=cfg.dtype,
+                    name="image_latents_context_embedding_conv3")(y)
+        img_ctx = y.reshape(b, -1, cfg.cross_attention_dim)
+
+        img_emb = MLPEmbedding(
+            cfg.time_embed_dim, cfg.cross_attention_dim * cin,
+            dtype=cfg.dtype, name="context_embedding",
+        )(image_embeddings.astype(cfg.dtype))
+        img_emb = img_emb.reshape(b, cin, cfg.cross_attention_dim)
+
+        ctx = jnp.concatenate(
+            [encoder_hidden_states.astype(cfg.dtype), img_ctx, img_emb], axis=1
         )
-        ctx = jnp.concatenate([encoder_hidden_states.astype(cfg.dtype), img_tok], axis=1)
         ctx_f = jnp.repeat(ctx, f, axis=0)
 
-        x = jnp.concatenate([sample, image_latents], axis=-1).astype(cfg.dtype)
+        # 5. image latents: conv proj + temporal encoder, concat on channels
+        il = fold_frames(image_latents).astype(cfg.dtype)
+        il = nn.Conv(cin * 4, (3, 3), padding=((1, 1), (1, 1)), dtype=cfg.dtype,
+                     name="image_latents_proj_in_conv1")(il)
+        il = nn.silu(il)
+        il = nn.Conv(cin * 4, (3, 3), padding=((1, 1), (1, 1)), dtype=cfg.dtype,
+                     name="image_latents_proj_in_conv2")(il)
+        il = nn.silu(il)
+        il = nn.Conv(cin, (3, 3), padding=((1, 1), (1, 1)), dtype=cfg.dtype,
+                     name="image_latents_proj_in_conv3")(il)
+        seq, shape = _to_pixel_seq(unfold_frames(il, b))
+        seq = ImageLatentsTemporalEncoder(
+            dim=cin, heads=2, dim_head=cin, ff_inner_dim=cin * 4,
+            dtype=cfg.dtype, name="image_latents_temporal_encoder",
+        )(seq)
+        il = _from_pixel_seq(seq, shape)
+
+        x = jnp.concatenate([sample.astype(cfg.dtype), il], axis=-1)
         x = nn.Conv(
             cfg.block_out_channels[0], (3, 3), padding=((1, 1), (1, 1)),
             dtype=cfg.dtype, name="conv_in",
         )(fold_frames(x))
         x = unfold_frames(x, b)
+        x = TransformerTemporalModel(
+            in_channels=cfg.block_out_channels[0], heads=8,
+            dim_head=cfg.attention_head_dim, num_layers=1,
+            norm_num_groups=cfg.norm_num_groups, dtype=cfg.dtype,
+            name="transformer_in",
+        )(x)
 
         def spatial_resnet(name, ch, x):
             return unfold_frames(
@@ -224,10 +375,17 @@ class UNet3DConditionModel(nn.Module):
                 )(fold_frames(x), ctx_f, None), b,
             )
 
-        def temporal(name, ch, level, x):
+        def temp_conv(name, ch, x):
+            return TemporalConvLayer(ch, cfg.norm_num_groups, dtype=cfg.dtype,
+                                     name=name)(x)
+
+        def temp_attn(name, ch, x):
             heads = max(1, ch // cfg.attention_head_dim)
-            x = TemporalConv(ch, cfg.norm_num_groups, dtype=cfg.dtype, name=f"{name}_temp_conv")(x)
-            return TemporalAttention(ch, heads, dtype=cfg.dtype, name=f"{name}_temp_attn")(x)
+            return TransformerTemporalModel(
+                in_channels=ch, heads=heads, dim_head=cfg.attention_head_dim,
+                num_layers=1, norm_num_groups=cfg.norm_num_groups,
+                dtype=cfg.dtype, name=name,
+            )(x)
 
         n_levels = len(cfg.block_out_channels)
         res_stack = [x]
@@ -236,9 +394,10 @@ class UNet3DConditionModel(nn.Module):
             has_attn = btype == "CrossAttnDownBlock3D"
             for j in range(cfg.layers_per_block):
                 x = spatial_resnet(f"down_blocks_{level}_resnets_{j}", ch, x)
-                x = temporal(f"down_blocks_{level}_{j}", ch, level, x)
+                x = temp_conv(f"down_blocks_{level}_temp_convs_{j}", ch, x)
                 if has_attn:
                     x = spatial_attn(f"down_blocks_{level}_attentions_{j}", level, x)
+                    x = temp_attn(f"down_blocks_{level}_temp_attentions_{j}", ch, x)
                 res_stack.append(x)
             if level < n_levels - 1:
                 x = unfold_frames(
@@ -248,16 +407,17 @@ class UNet3DConditionModel(nn.Module):
                 )
                 res_stack.append(x)
 
-        # mid (+ hard-copy injection after the mid resnets,
-        # utils_attn.py:433-443)
+        # mid (+ hard-copy injection at each mid resnet output,
+        # utils_attn.py:462-466)
         mid_ch = cfg.block_out_channels[-1]
         x = spatial_resnet("mid_block_resnets_0", mid_ch, x)
         x = _inject_first_frame(x, inject_copy, 0.0, interp_ratio)
-        x = temporal("mid_block_0", mid_ch, n_levels - 1, x)
+        x = temp_conv("mid_block_temp_convs_0", mid_ch, x)
         x = spatial_attn("mid_block_attentions_0", n_levels - 1, x)
+        x = temp_attn("mid_block_temp_attentions_0", mid_ch, x)
         x = spatial_resnet("mid_block_resnets_1", mid_ch, x)
         x = _inject_first_frame(x, inject_copy, 0.0, interp_ratio)
-        x = temporal("mid_block_1", mid_ch, n_levels - 1, x)
+        x = temp_conv("mid_block_temp_convs_1", mid_ch, x)
 
         rev = list(reversed(cfg.block_out_channels))
         for i, btype in enumerate(cfg.up_block_types):
@@ -270,11 +430,12 @@ class UNet3DConditionModel(nn.Module):
                 x = spatial_resnet(f"up_blocks_{i}_resnets_{j}", ch, x)
                 if i == 1 and j == 0:
                     # interpolated injection after up_blocks[1].resnets[0]
-                    # (utils_attn.py:445-455)
+                    # (utils_attn.py:470-474)
                     x = _inject_first_frame(x, 0.0, inject_interp, interp_ratio)
-                x = temporal(f"up_blocks_{i}_{j}", ch, level, x)
+                x = temp_conv(f"up_blocks_{i}_temp_convs_{j}", ch, x)
                 if has_attn:
                     x = spatial_attn(f"up_blocks_{i}_attentions_{j}", level, x)
+                    x = temp_attn(f"up_blocks_{i}_temp_attentions_{j}", ch, x)
             if i < n_levels - 1:
                 x = unfold_frames(
                     Upsample2D(ch, dtype=cfg.dtype, name=f"up_blocks_{i}_upsamplers_0")(

@@ -6,9 +6,13 @@ round-trips mask JPGs (``fusion_generation/fusion_sampling.py:456-469``,
 returning image-resolution foreground masks; the rect-expand / blackout /
 overlap post-processing is pure jnp (fusion/masks.py).
 
-The detect+segment models are being ported in a later milestone; until
-then ``make_segment_fn`` raises so callers fall back to ``--mask_dir``.
+Presets: ``'sam'`` loads real converted weights (SAM ViT-H + OWL-ViT
+detector) from local checkpoint paths; ``'sam-random'`` random-initializes
+tiny models (tests/demos); ``'heuristic'`` is a weights-free fallback that
+substitutes luminance-band masks — smoke runs only, NOT production quality.
 """
+
+import os
 
 from tweediemix_tpu.segmentation.expand import expand_masks  # noqa: F401
 from tweediemix_tpu.segmentation.lang_sam import (  # noqa: F401
@@ -17,23 +21,49 @@ from tweediemix_tpu.segmentation.lang_sam import (  # noqa: F401
     make_model_segment_fn,
 )
 
+# default local checkpoint locations for the real-weights preset
+SAM_CHECKPOINT_ENV = "TWEEDIEMIX_SAM_CHECKPOINT"
+DETECTOR_DIR_ENV = "TWEEDIEMIX_DETECTOR_DIR"
 
-def make_segment_fn(seg_concepts: str, output_path: str, preset: str = "heuristic"):
+
+def make_segment_fn(seg_concepts: str, output_path: str, preset: str = "heuristic",
+                    sam_checkpoint: str = None, detector_dir: str = None,
+                    box_threshold: float = 0.20):
     """In-process segment_fn for the fusion sampler.
 
-    ``preset='sam'`` runs the LangSAM stage (needs weights or random init
-    for smoke runs); ``'heuristic'`` is the weights-free fallback;
-    ``'sam-random'`` random-initializes tiny models (tests/demos).
-    """
+    ``preset='sam'`` loads converted SAM + OWL-ViT weights from
+    ``sam_checkpoint``/``detector_dir`` (or the ``TWEEDIEMIX_SAM_CHECKPOINT``
+    / ``TWEEDIEMIX_DETECTOR_DIR`` env vars); ``'heuristic'`` is the
+    weights-free fallback; ``'sam-random'`` random-initializes tiny models
+    (tests/demos)."""
     concepts = seg_concepts.split("+")
     if preset == "heuristic":
+        import sys
+
+        print(
+            "WARNING: --seg_preset heuristic substitutes luminance-band masks "
+            "for real segmentation; use preset 'sam' with weights for quality.",
+            file=sys.stderr,
+        )
         return HeuristicSegmenter(len(concepts))
     if preset == "sam-random":
         import jax
 
         ls = LangSAM.random_init(jax.random.PRNGKey(0))
         return make_model_segment_fn(ls, seg_concepts)
-    raise NotImplementedError(
-        f"segment preset {preset!r}: converted detector/SAM weights land in "
-        "a later round; use 'heuristic', 'sam-random', or --mask_dir"
+    if preset == "sam":
+        sam_checkpoint = sam_checkpoint or os.environ.get(SAM_CHECKPOINT_ENV)
+        detector_dir = detector_dir or os.environ.get(DETECTOR_DIR_ENV)
+        if not sam_checkpoint or not detector_dir:
+            raise FileNotFoundError(
+                "seg preset 'sam' needs --sam_checkpoint (segment-anything "
+                "ViT-H .pth/safetensors) and --detector_dir (HF OWL-ViT dir), "
+                f"or the {SAM_CHECKPOINT_ENV}/{DETECTOR_DIR_ENV} env vars"
+            )
+        ls = LangSAM.from_pretrained(sam_checkpoint, detector_dir,
+                                     box_threshold=box_threshold)
+        return make_model_segment_fn(ls, seg_concepts)
+    raise ValueError(
+        f"unknown segment preset {preset!r}; use 'sam', 'sam-random', "
+        "'heuristic', or --mask_dir"
     )

@@ -20,9 +20,18 @@ from typing import Callable, List, Optional
 import jax
 import jax.numpy as jnp
 
-from tweediemix_tpu.segmentation.detector import DetectorConfig, TextBoxDetector
+from tweediemix_tpu.segmentation.detector import (
+    CLIP_IMAGE_MEAN,
+    CLIP_IMAGE_STD,
+    DetectorConfig,
+    TextBoxDetector,
+)
 from tweediemix_tpu.segmentation.expand import expand_masks
 from tweediemix_tpu.segmentation.sam import SAM, SAMConfig
+
+# segment-anything's pixel statistics (0-255 scale), sam/modeling/sam.py
+SAM_PIXEL_MEAN = (123.675, 116.28, 103.53)
+SAM_PIXEL_STD = (58.395, 57.12, 57.375)
 
 
 class LangSAM:
@@ -40,6 +49,35 @@ class LangSAM:
         self._segment = jax.jit(
             lambda p, img, boxes: self.sam.apply({"params": p}, img, boxes)
         )
+
+    @classmethod
+    def from_pretrained(cls, sam_checkpoint: str, detector_dir: str,
+                        box_threshold: float = 0.20):
+        """Real-weights LangSAM from local checkpoints.
+
+        ``sam_checkpoint``: a segment-anything ``.pth``/safetensors file or
+        dir (ViT-H); ``detector_dir``: an HF-layout OWL-ViT detection dir
+        (``google/owlvit-base-patch32``: model weights + vocab.json/
+        merges.txt). Mirrors the reference's
+        ``text_segment/lang_sam/lang_sam.py:20-24`` model pair, loaded from
+        disk instead of the hub."""
+        from tweediemix_tpu.models.convert import load_detector_params, load_sam_params
+        from tweediemix_tpu.utils.tokenizer import CLIPBPETokenizer
+
+        sam_cfg = SAMConfig.vit_h()
+        det_cfg = DetectorConfig.owlvit_base_patch32()
+        sam_params = load_sam_params(sam_checkpoint)
+        det_params = load_detector_params(detector_dir)
+        tok_dir = detector_dir
+        import os
+
+        if not os.path.exists(os.path.join(tok_dir, "vocab.json")):
+            tok_dir = os.path.join(detector_dir, "tokenizer")
+        tokenizer = CLIPBPETokenizer.from_dir(
+            tok_dir, max_length=det_cfg.text.max_positions
+        )
+        return cls(sam_cfg, sam_params, det_cfg, det_params, tokenizer,
+                   box_threshold=box_threshold)
 
     @classmethod
     def random_init(cls, key, sam_cfg=None, det_cfg=None, tokenizer=None):
@@ -70,13 +108,14 @@ class LangSAM:
         h, w = image.shape[:2]
         det_size = self.detector.config.vision.image_size
         det_img = jax.image.resize(image, (det_size, det_size, 3), "bilinear")[None]
-        det_img = det_img * 2.0 - 1.0
-        ids = jnp.asarray(self.tokenizer([text]), jnp.int32)[:, :16]
+        det_img = (det_img - jnp.asarray(CLIP_IMAGE_MEAN)) / jnp.asarray(CLIP_IMAGE_STD)
+        max_len = self.detector.config.text.max_positions
+        ids = jnp.asarray(self.tokenizer([text]), jnp.int32)[:, :max_len]
         boxes, scores = self._detect(self.det_params, det_img, ids)
 
         sam_size = self.sam.config.image_size
         sam_img = jax.image.resize(image, (sam_size, sam_size, 3), "bilinear")[None]
-        sam_img = sam_img * 2.0 - 1.0
+        sam_img = (sam_img * 255.0 - jnp.asarray(SAM_PIXEL_MEAN)) / jnp.asarray(SAM_PIXEL_STD)
         mask_logits, iou = self._segment(self.sam_params, sam_img, boxes)
         masks = jax.image.resize(
             mask_logits, (mask_logits.shape[0], h, w), "bilinear"
