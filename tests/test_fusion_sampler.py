@@ -250,6 +250,56 @@ def test_seed_batched_rows_match_single_runs():
         )
 
 
+def test_multi_prompt_seed_rows_match_single_runs():
+    """Multi-prompt batching: seed row s of one batched trajectory driven by
+    stacked per-seed TextEmbeds must equal a single-seed trajectory run with
+    prompt set s alone (the BASELINE batched multi-prompt serving config)."""
+    from tweediemix_tpu.fusion.pipeline import stack_text_embeds
+
+    cfg = FusionConfig(n_timesteps=10, num_concepts=N, height=H * 8, width=W * 8,
+                       resampling_steps=2, jumping_steps=2)
+    table = DDIMTable.create(n_steps=cfg.n_timesteps)
+    key = jax.random.PRNGKey(11)
+    embeds_list = [make_embeds(jax.random.fold_in(key, 100 + s)) for s in range(3)]
+    stacked = stack_text_embeds(embeds_list)
+    assert stacked.joint_ctx.shape == (2, 3, S_CTX, D_CTX)
+
+    def row_local_unet(params, x, t, ctx, pooled, concept_idx):
+        # like mock_unet but strictly row-local (a real UNet never mixes
+        # batch rows; mock_unet's global mean(ctx) would)
+        tag = pooled[:, 0][:, None, None, None]
+        idx = concept_idx.astype(jnp.float32)[:, None, None, None]
+        tf = jnp.asarray(t, jnp.float32) / 1000.0
+        row_ctx = jnp.mean(ctx, axis=(1, 2))[:, None, None, None]
+        return jnp.tanh(0.3 * x) * (1.0 + 0.03 * tag) + 0.01 * tf + 0.02 * idx + 0.001 * row_ctx
+
+    sampler = FusionSampler(table, cfg, row_local_unet)
+    fg = jnp.zeros((N - 1, H * 8, W * 8)).at[0, :, : W * 4].set(1.0).at[1, :, W * 4 :].set(1.0)
+    masks = sampler.compute_masks(None, fg)
+    x0 = sampler.init_latent(jax.random.fold_in(key, 2), num_seeds=3)
+
+    def run_from(x, e):
+        x, _ = sampler.prologue(None, e, x)
+        x, _ = sampler.joint_scan(None, e, x, 1, cfg.t_cond_idx)
+        preview = sampler.jumping(None, e, x)
+        x = sampler.fused_scan(None, e, x, masks, cfg.t_cond_idx, cfg.n_timesteps)
+        return x, preview
+
+    batched, preview_b = run_from(x0, stacked)
+    assert batched.shape == (3, H, W, 4)
+    for s in range(3):
+        single, preview_s = run_from(x0[s : s + 1], embeds_list[s])
+        np.testing.assert_allclose(
+            np.asarray(batched[s : s + 1]), np.asarray(single), rtol=1e-4, atol=1e-5,
+            err_msg=f"seed row {s}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(preview_b[s : s + 1]), np.asarray(preview_s), rtol=1e-4, atol=1e-5,
+        )
+    # distinct prompts actually produce distinct rows
+    assert float(jnp.max(jnp.abs(batched[0] - batched[1]))) > 1e-4
+
+
 def test_init_latent_rows_independent_of_batch():
     cfg = FusionConfig(n_timesteps=10, num_concepts=N, height=H * 8, width=W * 8)
     table = DDIMTable.create(n_steps=cfg.n_timesteps)

@@ -94,6 +94,7 @@ def test_train_step_only_moves_trainable_leaves():
         full_trainable_mask,
         make_full_optimizer,
         make_full_train_step,
+        trainable_subset,
     )
 
     key = jax.random.PRNGKey(0)
@@ -119,7 +120,8 @@ def test_train_step_only_moves_trainable_leaves():
     rm2 = embedding_row_mask(c2.vocab_size, [7])
     tids = jnp.array([[64, 64, 0, 0, 64, 64]], jnp.float32)
     step = jax.jit(make_full_train_step(
-        unet, te1, te2, cfg, training_alphas_cumprod(), opt, rm1, rm2, tids))
+        unet, te1, te2, cfg, training_alphas_cumprod(), opt, rm1, rm2, tids,
+        mask=mask))
 
     batch = {
         "latents": jax.random.normal(key, (4, h, h, 4)),
@@ -129,7 +131,7 @@ def test_train_step_only_moves_trainable_leaves():
         "is_prior": jnp.array([0.0, 0.0, 1.0, 1.0]),
     }
     state = FullTrainState(step=jnp.zeros((), jnp.int32), params=params,
-                           opt_state=opt.init(params))
+                           opt_state=opt.init(trainable_subset(params, mask)))
     state2, metrics = step(state, batch, jax.random.PRNGKey(1))
     assert bool(jnp.isfinite(metrics["loss"]))
     assert "prior_loss" in metrics
@@ -202,6 +204,7 @@ def test_train_then_sample_cli_end_to_end(tmp_path, image_dirs):
         "--save_steps", "100",
         "--output_dir", str(out),
         "--learning_rate", "1e-4",
+        "--dp_devices", "1",  # keep the 1-core-CPU smoke run small
     ])
     assert rc == 0
     ckpts = sorted(out.glob("delta-*.bin"))
@@ -232,6 +235,85 @@ def test_train_then_sample_cli_end_to_end(tmp_path, image_dirs):
     ])
     assert rc == 0
     assert list(sample_out.glob("*.png"))
+
+
+def test_cli_train_dp_matches_single_device(tmp_path, image_dirs):
+    """The same global batch trained data-parallel over 2 virtual devices
+    produces the same delta checkpoint as a single-device run (the
+    accelerate-DDP equivalence, diffusers_training_xl_new.py:913-920)."""
+    from tweediemix_tpu.cli.train import main as train_main
+    from tweediemix_tpu.concepts.delta import load_reference_delta
+
+    inst, _ = image_dirs
+    common = [
+        "--model_preset", "tiny",
+        "--instance_data_dir", inst,
+        "--instance_prompt", "photo of a <new1> cat",
+        "--modifier_token", "<new1>",
+        "--resolution", "64",
+        "--max_train_steps", "2",
+        "--save_steps", "100",
+        "--learning_rate", "0.05",
+        "--seed", "7",
+    ]
+    out1, out2 = tmp_path / "single", tmp_path / "dp"
+    assert train_main(common + ["--output_dir", str(out1),
+                                "--dp_devices", "1", "--train_batch_size", "2"]) == 0
+    assert train_main(common + ["--output_dir", str(out2),
+                                "--dp_devices", "2", "--train_batch_size", "1"]) == 0
+
+    d1 = load_reference_delta(str(sorted(out1.glob("delta-*.bin"))[-1]))
+    d2 = load_reference_delta(str(sorted(out2.glob("delta-*.bin"))[-1]))
+    assert set(d1["unet"]) == set(d2["unet"]) and d1["unet"]
+    for k in d1["unet"]:
+        np.testing.assert_allclose(
+            np.asarray(d1["unet"][k]), np.asarray(d2["unet"][k]),
+            atol=1e-4, rtol=1e-3, err_msg=k,
+        )
+    for field in ("modifier_token", "modifier_token_2"):
+        for tok in d1.get(field, {}):
+            np.testing.assert_allclose(
+                np.asarray(d1[field][tok]), np.asarray(d2[field][tok]),
+                atol=1e-4, rtol=1e-3, err_msg=f"{field}/{tok}",
+            )
+
+
+def test_unet_remat_grads_match():
+    """remat=True must not change values — same loss and grads as the
+    plain UNet (the --gradient_checkpointing path)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tweediemix_tpu.models.unet2d import UNet2DConditionModel, UNetConfig
+
+    key = jax.random.PRNGKey(0)
+    args = (
+        jax.random.normal(key, (2, 8, 8, 4)),
+        jnp.int32(3),
+        0.1 * jax.random.normal(jax.random.fold_in(key, 1), (2, 16, 32)),
+        0.1 * jax.random.normal(jax.random.fold_in(key, 2), (2, 32)),
+        jnp.zeros((2, 6)),
+    )
+    base = UNet2DConditionModel(UNetConfig.micro())
+    rem = UNet2DConditionModel(UNetConfig.micro(remat=True))
+    params = jax.jit(base.init)(key, *args)["params"]
+
+    def loss(model):
+        return lambda p: jnp.sum(model.apply({"params": p}, *args) ** 2)
+
+    l1, g1 = jax.value_and_grad(loss(base))(params)
+    l2, g2 = jax.value_and_grad(loss(rem))(params)
+    assert float(l1) == pytest.approx(float(l2), rel=1e-6)
+    from flax import traverse_util
+
+    flat1 = traverse_util.flatten_dict(g1)
+    flat2 = traverse_util.flatten_dict(g2)
+    assert set(flat1) == set(flat2)
+    for k in flat1:
+        # remat reorders fp32 reductions; compare against the leaf's scale
+        d = float(jnp.max(jnp.abs(flat1[k] - flat2[k])))
+        scale = float(jnp.max(jnp.abs(flat1[k])))
+        assert d <= 1e-6 + 1e-4 * scale, ("/".join(k), d, scale)
 
 
 def test_class_image_generation(tmp_path):

@@ -219,10 +219,31 @@ def main(argv=None) -> int:
         segment_fn=segment_fn,
     )
 
-    embeds = pipe.prepare_text_embeds(
-        opt.prompt, opt.prompt_orig, opt.concepts, opt.modifier_token,
-        negative_prompt=opt.negative_prompt,
-    )
+    # multi-prompt seed batching: "||" separates per-seed prompt sets in
+    # --prompt / --prompt_orig (must match --num_seeds)
+    if "||" in opt.prompt:
+        from tweediemix_tpu.fusion.pipeline import stack_text_embeds
+
+        prompts = opt.prompt.split("||")
+        origs = opt.prompt_orig.split("||")
+        if len(prompts) != opt.num_seeds or len(origs) != opt.num_seeds:
+            raise ValueError(
+                f"--prompt has {len(prompts)} '||'-separated sets and "
+                f"--prompt_orig {len(origs)}; both must equal --num_seeds "
+                f"({opt.num_seeds})"
+            )
+        embeds = stack_text_embeds([
+            pipe.prepare_text_embeds(
+                p.strip(), o.strip(), opt.concepts, opt.modifier_token,
+                negative_prompt=opt.negative_prompt,
+            )
+            for p, o in zip(prompts, origs)
+        ])
+    else:
+        embeds = pipe.prepare_text_embeds(
+            opt.prompt, opt.prompt_orig, opt.concepts, opt.modifier_token,
+            negative_prompt=opt.negative_prompt,
+        )
 
     fg_masks = None
     if opt.mask_dir is not None:
@@ -239,8 +260,10 @@ def main(argv=None) -> int:
         with timer.phase(f"sample_{opt.num_seeds}_seeds"):
             imgs = pipe.sample(embeds, seed=opt.seed, fg_masks=fg_masks,
                                num_seeds=opt.num_seeds)
+        orig_names = [o.strip() for o in opt.prompt_orig.split("||")]
         for i in range(imgs.shape[0]):
-            path = os.path.join(out_all, f"{opt.prompt_orig}_{opt.seed + i}.png")
+            name = orig_names[i] if len(orig_names) > 1 else orig_names[0]
+            path = os.path.join(out_all, f"{name}_{opt.seed + i}.png")
             save_image(imgs[i : i + 1], path)
             print(f"saved {path}")
     if opt.profile:

@@ -53,6 +53,12 @@ def build_parser():
     p.add_argument("--modifier_token", type=str, default=None, help="'+'-separated")
     p.add_argument("--initializer_token", type=str, default="ktn+pll+ucd")
     p.add_argument("--hflip", action="store_true")
+    p.add_argument("--gradient_checkpointing", action="store_true",
+                   help="remat UNet resnet/transformer blocks in backward "
+                        "(singleconcept_train.sh:20)")
+    p.add_argument("--dp_devices", type=int, default=None,
+                   help="data-parallel device count (default: all local "
+                        "devices; 1 disables DP)")
     p.add_argument("--resume_step", type=int, default=None)
     p.add_argument("--report_to", type=str, default="none",
                    help="'none' or a directory for JSONL/TensorBoard metrics")
@@ -119,6 +125,7 @@ def main(argv=None) -> int:
             lora_slots=1 if lora else 0,
             lora_rank=opt.lora_rank,
             detach_first_token_kv=not lora,
+            remat=opt.gradient_checkpointing,
         )
         vcfg = VAEConfig.tiny()
         tok1, tok2 = HashTokenizer(c1.vocab_size), HashTokenizer(c2.vocab_size)
@@ -146,6 +153,7 @@ def main(argv=None) -> int:
             dtype=jnp.bfloat16,
             lora_slots=1 if lora else 0, lora_rank=opt.lora_rank,
             detach_first_token_kv=not lora,
+            remat=opt.gradient_checkpointing,
         )
         vcfg = VAEConfig.sdxl()
         tok1 = CLIPBPETokenizer.from_dir(os.path.join(d, "tokenizer"))
@@ -246,8 +254,19 @@ def main(argv=None) -> int:
         latent_factor=latent_factor,
     )
 
-    # --- optimizer / train step ---
-    n_dev = jax.local_device_count()
+    # --- data parallelism (replaces accelerate DDP,
+    # diffusers_training_xl_new.py:503-508,913-920): params replicated,
+    # batch sharded on a 1-D dp mesh; XLA inserts the grad all-reduce.
+    # train_batch_size is per-device like the reference's.
+    n_dev = opt.dp_devices or jax.local_device_count()
+    mesh = None
+    if n_dev > 1:
+        from tweediemix_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh({"dp": n_dev}, devices=jax.devices()[:n_dev])
+        print(f"data parallelism over {n_dev} devices "
+              f"(global batch {opt.train_batch_size * n_dev})")
+
     lr = opt.learning_rate
     if opt.scale_lr:
         lr *= opt.gradient_accumulation_steps * opt.train_batch_size * n_dev
@@ -268,12 +287,30 @@ def main(argv=None) -> int:
     )
     rm1 = embedding_row_mask(c1.vocab_size, ids1) if modifier_tokens else None
     rm2 = embedding_row_mask(c2.vocab_size, ids2) if modifier_tokens else None
-    train_step = jax.jit(make_full_train_step(
-        unet, te1, te2, tcfg, acp, optimizer, rm1, rm2, time_ids))
+    step_fn = make_full_train_step(unet, te1, te2, tcfg, acp, optimizer, rm1, rm2,
+                                   time_ids, mask=mask)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep = NamedSharding(mesh, P())
+        train_step = jax.jit(
+            step_fn,
+            in_shardings=(rep, NamedSharding(mesh, P("dp")), rep),
+            out_shardings=(rep, rep),
+        )
+    else:
+        train_step = jax.jit(step_fn)
+
+    from tweediemix_tpu.training.trainer import trainable_subset
 
     state = FullTrainState(
-        step=jnp.zeros((), jnp.int32), params=params, opt_state=optimizer.init(params)
+        step=jnp.zeros((), jnp.int32), params=params,
+        opt_state=optimizer.init(trainable_subset(params, mask)),
     )
+    if mesh is not None:
+        from tweediemix_tpu.parallel.mesh import replicate
+
+        state = replicate(mesh, state)
     if opt.resume_step is not None:
         from tweediemix_tpu.training.trainer import load_resume_checkpoint
 
@@ -298,7 +335,7 @@ def main(argv=None) -> int:
     rng = jax.random.PRNGKey(opt.seed)
     start_opt_step = int(state.step) // accum
     micro_steps = (opt.max_train_steps - start_opt_step) * accum
-    for i, batch_np in enumerate(ds.batches(opt.train_batch_size, micro_steps)):
+    for i, batch_np in enumerate(ds.batches(opt.train_batch_size * n_dev, micro_steps)):
         batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
         latents = encode(vae_params, batch.pop("pixel_values"),
                          jax.random.fold_in(rng, 1000 + i))

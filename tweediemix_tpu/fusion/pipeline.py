@@ -41,6 +41,14 @@ from tweediemix_tpu.models.vae import (
 from tweediemix_tpu.schedulers.ddim import DDIMTable
 
 
+def stack_text_embeds(embeds_list: Sequence[TextEmbeds]) -> TextEmbeds:
+    """Stack S per-seed TextEmbeds into one multi-prompt TextEmbeds (each
+    leaf gains a per-seed axis at position 1) so seed row s of a batched
+    trajectory samples prompt set s — the BASELINE "batched multi-prompt
+    pipeline" serving config. Pass with ``num_seeds == S``."""
+    return TextEmbeds(*(jnp.stack(parts, axis=1) for parts in zip(*embeds_list)))
+
+
 def insert_modifier(prompt: str, concept: str, modifier: str) -> str:
     """``"photo of a cat running"`` + cat/<cat1> → ``"photo of a <cat1> cat
     running"`` (fusion_sampling.py:151-154)."""

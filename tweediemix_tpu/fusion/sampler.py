@@ -68,10 +68,16 @@ class FusionConfig:
 class TextEmbeds(NamedTuple):
     """Precomputed prompt embeddings, row layouts fixed per phase.
 
-    joint:   [2, S, D] = [uncond, multi-concept prompt]
-    single:  [N-1, S, D] = per-concept single prompts (no background)
-    concept: [N+1, S, D] = [uncond, concept_1 .. concept_N]
+    joint:   [2, T, D] = [uncond, multi-concept prompt]
+    single:  [N-1, T, D] = per-concept single prompts (no background)
+    concept: [N+1, T, D] = [uncond, concept_1 .. concept_N]
     (each with matching pooled [., P])
+
+    Multi-prompt seed batching: every leaf may carry an extra per-seed axis
+    at position 1 ([K, S, T, D] / [K, S, P]) so the S seeds of one batched
+    trajectory sample S *different* prompt sets (the BASELINE "batched
+    multi-prompt pipeline" serving config). Build with
+    ``fusion.pipeline.stack_text_embeds``.
     """
 
     joint_ctx: jnp.ndarray
@@ -80,6 +86,17 @@ class TextEmbeds(NamedTuple):
     single_pooled: jnp.ndarray
     concept_ctx: jnp.ndarray
     concept_pooled: jnp.ndarray
+
+
+def _rows(a: jnp.ndarray, s: int, base_ndim: int) -> jnp.ndarray:
+    """Embed-major/seed-minor UNet rows (row k*S+s = embed k, seed s).
+
+    Shared embeds ([K, ...], ndim == base_ndim) repeat per seed; per-seed
+    embeds ([K, S, ...]) reshape directly into the same row order."""
+    if a.ndim == base_ndim:
+        return jnp.repeat(a, s, axis=0)
+    assert a.ndim == base_ndim + 1 and a.shape[1] == s, (a.shape, s)
+    return a.reshape(a.shape[0] * s, *a.shape[2:])
 
 
 # unet_fn: (params, x [B,h,w,4] fp32, t int32, ctx [B,S,D], pooled [B,P],
@@ -126,8 +143,8 @@ class FusionSampler:
         xin = jnp.concatenate([x, x], axis=0)
         eps = self.unet_fn(
             params, xin, t,
-            jnp.repeat(embeds.joint_ctx, s, axis=0),
-            jnp.repeat(embeds.joint_pooled, s, axis=0),
+            _rows(embeds.joint_ctx, s, 3),
+            _rows(embeds.joint_pooled, s, 2),
             jnp.zeros((2 * s,), jnp.int32),
         )
         return eps[:s], eps[s:]
@@ -140,7 +157,7 @@ class FusionSampler:
         xin = jnp.concatenate([x] * (n + 1), axis=0)
         return self.unet_fn(
             params, xin, t,
-            jnp.repeat(ctx, s, axis=0), jnp.repeat(pooled, s, axis=0),
+            _rows(ctx, s, 3), _rows(pooled, s, 2),
             jnp.zeros(((n + 1) * s,), jnp.int32),
         )
 
@@ -256,8 +273,8 @@ class FusionSampler:
             xin = jnp.concatenate([x] * (n + 1), axis=0)
             eps = self.unet_fn(
                 params, xin, t,
-                jnp.repeat(embeds.concept_ctx, s, axis=0),
-                jnp.repeat(embeds.concept_pooled, s, axis=0),
+                _rows(embeds.concept_ctx, s, 3),
+                _rows(embeds.concept_pooled, s, 2),
                 concept_idx,
             )
             eps_u = eps[:s]

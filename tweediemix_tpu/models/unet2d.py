@@ -69,6 +69,9 @@ class UNetConfig:
     # (the Custom-Diffusion detach trick,
     #  concept_training/diffusers_model_pipeline_xl_new.py:93-97)
     detach_first_token_kv: bool = False
+    # training: rematerialize resnet/transformer blocks in the backward pass
+    # (the reference's --gradient_checkpointing, singleconcept_train.sh:20)
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -383,8 +386,12 @@ class UNet2DConditionModel(nn.Module):
         ctx = encoder_hidden_states.astype(cfg.dtype)
         sample = sample.astype(cfg.dtype)
 
+        # gradient checkpointing: lifted remat preserves param names/shapes
+        Resnet = nn.remat(ResnetBlock2D) if cfg.remat else ResnetBlock2D
+        Transformer = nn.remat(Transformer2DModel) if cfg.remat else Transformer2DModel
+
         def transformer(level: int, name: str):
-            return Transformer2DModel(
+            return Transformer(
                 heads=cfg.num_attention_heads[level],
                 dim_head=cfg.block_out_channels[level] // cfg.num_attention_heads[level],
                 num_layers=cfg.transformer_layers_per_block[level],
@@ -409,7 +416,7 @@ class UNet2DConditionModel(nn.Module):
             out_ch = cfg.block_out_channels[level]
             has_attn = block_type == "CrossAttnDownBlock2D"
             for j in range(cfg.layers_per_block):
-                x = ResnetBlock2D(
+                x = Resnet(
                     out_ch, cfg.norm_num_groups, dtype=cfg.dtype,
                     name=f"down_blocks_{level}_resnets_{j}",
                 )(x, temb)
@@ -424,9 +431,9 @@ class UNet2DConditionModel(nn.Module):
 
         # --- mid ---
         mid_ch = cfg.block_out_channels[-1]
-        x = ResnetBlock2D(mid_ch, cfg.norm_num_groups, dtype=cfg.dtype, name="mid_block_resnets_0")(x, temb)
+        x = Resnet(mid_ch, cfg.norm_num_groups, dtype=cfg.dtype, name="mid_block_resnets_0")(x, temb)
         x = transformer(n_levels - 1, "mid_block_attentions_0")(x, ctx, concept_idx)
-        x = ResnetBlock2D(mid_ch, cfg.norm_num_groups, dtype=cfg.dtype, name="mid_block_resnets_1")(x, temb)
+        x = Resnet(mid_ch, cfg.norm_num_groups, dtype=cfg.dtype, name="mid_block_resnets_1")(x, temb)
 
         # --- up ---
         rev_channels = list(reversed(cfg.block_out_channels))
@@ -437,7 +444,7 @@ class UNet2DConditionModel(nn.Module):
             for j in range(cfg.layers_per_block + 1):
                 res = res_stack.pop()
                 x = jnp.concatenate([x, res], axis=-1)
-                x = ResnetBlock2D(
+                x = Resnet(
                     out_ch, cfg.norm_num_groups, dtype=cfg.dtype,
                     name=f"up_blocks_{i}_resnets_{j}",
                 )(x, temb)

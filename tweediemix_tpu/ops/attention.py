@@ -9,6 +9,7 @@ primitive. Head split/merge happens here so model code only sees
 
 from __future__ import annotations
 
+import functools
 import os
 
 import jax
@@ -43,6 +44,44 @@ def _use_flash(sq: int, dh: int) -> bool:
     )
 
 
+def _xla_attention(q, k, v, scale):
+    s = jnp.einsum("bid,bjd->bij", q, k, preferred_element_type=jnp.float32) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bij,bjd->bid", p.astype(v.dtype), v).astype(q.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash(q, k, v, scale, block_q, block_k):
+    """Pallas flash forward with an XLA-attention backward, so training can
+    differentiate through the kernel (the Pallas call has no JVP rule)."""
+    return flash_attention(q, k, v, scale=scale, block_q=block_q, block_k=block_k)
+
+
+def _flash_fwd(q, k, v, scale, block_q, block_k):
+    return _flash(q, k, v, scale, block_q, block_k), (q, k, v)
+
+
+def _flash_bwd(scale, block_q, block_k, res, g):
+    """Memory-bounded backward: the XLA attention vjp materializes the full
+    [BH, S, S] fp32 score/prob matrices; at SDXL-training shapes (S=4096)
+    that is GiBs. Chunk sequentially over the BH axis so the peak is one
+    head's matrices."""
+    q, k, v = res
+
+    def per_bh(args):
+        q1, k1, v1, g1 = args
+        _, vjp = jax.vjp(
+            lambda a, b, c: _xla_attention(a[None], b[None], c[None], scale)[0],
+            q1, k1, v1,
+        )
+        return vjp(g1)
+
+    return jax.lax.map(per_bh, (q, k, v, g))
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
 def attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -56,12 +95,12 @@ def attention(
         scale = float(dh) ** -0.5
     if _use_flash(q.shape[1], dh) and k.shape[1] >= _FLASH_MIN_SK:
         block_q = 1024 if k.shape[1] >= 2048 else 512
-        return flash_attention(
-            q, k, v, scale=scale, block_q=block_q, block_k=1024, interpret=interpret
-        )
-    s = jnp.einsum("bid,bjd->bij", q, k, preferred_element_type=jnp.float32) * scale
-    p = jax.nn.softmax(s, axis=-1)
-    return jnp.einsum("bij,bjd->bid", p.astype(v.dtype), v).astype(q.dtype)
+        if interpret:
+            return flash_attention(
+                q, k, v, scale=scale, block_q=block_q, block_k=1024, interpret=True
+            )
+        return _flash(q, k, v, scale, block_q, 1024)
+    return _xla_attention(q, k, v, scale)
 
 
 def split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:

@@ -54,8 +54,30 @@ def full_trainable_mask(params, freeze_model: str, train_text_embeddings: bool):
     return {"unet": unet_mask, "te1": te_mask(params["te1"]), "te2": te_mask(params["te2"])}
 
 
+def trainable_subset(params, mask) -> Dict:
+    """Flat {path: leaf} dict of the trainable leaves — the pytree the
+    optimizer and the grad computation run over. Differentiating only this
+    subset (instead of the full tree) is the JAX equivalent of the
+    reference's ``requires_grad=False`` freeze: XLA never materializes
+    cotangents for the frozen 2.6B-param bulk."""
+    flat_p = traverse_util.flatten_dict(params)
+    flat_m = traverse_util.flatten_dict(mask)
+    return {p: flat_p[p] for p, on in flat_m.items() if on}
+
+
+def merge_subset(params, subset) -> Dict:
+    """Write the trainable leaves back into the full param tree."""
+    flat = dict(traverse_util.flatten_dict(params))
+    flat.update(subset)
+    return traverse_util.unflatten_dict(flat)
+
+
 def make_full_optimizer(cfg: TrainConfig, mask, accumulation_steps: int = 1):
-    inner = optax.chain(
+    """clip+AdamW over the trainable subset (init with
+    ``trainable_subset(params, mask)``). Frozen leaves never see the
+    optimizer — no moments, no accumulator slots, no decay."""
+    del mask  # selection happens via trainable_subset
+    opt = optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm),
         optax.adamw(
             learning_rate=cfg.learning_rate,
@@ -65,10 +87,6 @@ def make_full_optimizer(cfg: TrainConfig, mask, accumulation_steps: int = 1):
             weight_decay=cfg.adam_weight_decay,
         ),
     )
-    # optax.masked passes unmasked grads through unchanged; multi_transform
-    # with set_to_zero is the correct freeze
-    labels = jax.tree.map(lambda on: "train" if on else "freeze", mask)
-    opt = optax.multi_transform({"train": inner, "freeze": optax.set_to_zero()}, labels)
     if accumulation_steps > 1:
         opt = optax.MultiSteps(opt, every_k_schedule=accumulation_steps)
     return opt
@@ -93,9 +111,13 @@ def make_full_train_step(
     row_mask_1: Optional[jnp.ndarray],
     row_mask_2: Optional[jnp.ndarray],
     time_ids: jnp.ndarray,
+    mask=None,
 ):
     """batch: latents [B,h,w,4] (pre-encoded+scaled), mask [B,h,w,1],
-    ids_one/ids_two [B,77], is_prior [B]."""
+    ids_one/ids_two [B,77], is_prior [B].
+
+    ``mask``: the full_trainable_mask tree — grads are taken only w.r.t.
+    its leaves and ``state.opt_state`` covers only them."""
 
     def loss_fn(params, batch, rng):
         pen1, _, _ = te1_model.apply({"params": params["te1"]}, batch["ids_one"])
@@ -129,18 +151,31 @@ def make_full_train_step(
         total = jnp.mean(masked_mse)
         return total, {"loss": total}
 
+    assert mask is not None, "pass the full_trainable_mask tree"
+    flat_mask = traverse_util.flatten_dict(mask)
+    trainable_paths = tuple(sorted(p for p, on in flat_mask.items() if on))
+
     def train_step(state: FullTrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
+        flat = traverse_util.flatten_dict(state.params)
+        trainable = {p: flat[p] for p in trainable_paths}
+        frozen = {p: v for p, v in flat.items() if p not in trainable}
+
+        def loss_from_trainable(tr):
+            params = traverse_util.unflatten_dict({**frozen, **tr})
+            return loss_fn(params, batch, rng)
+
         (_, metrics), grads = jax.value_and_grad(
-            lambda p: loss_fn(p, batch, rng), has_aux=True
-        )(state.params)
+            loss_from_trainable, has_aux=True
+        )(trainable)
         # zero non-modifier embedding-row grads
         for key, row_mask in (("te1", row_mask_1), ("te2", row_mask_2)):
-            if row_mask is not None:
-                emb = grads[key]["token_embedding"]["embedding"]
-                grads[key]["token_embedding"]["embedding"] = emb * row_mask
-        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
+            p = (key, "token_embedding", "embedding")
+            if row_mask is not None and p in grads:
+                grads[p] = grads[p] * row_mask
+        updates, opt_state = optimizer.update(grads, state.opt_state, trainable)
+        trainable = optax.apply_updates(trainable, updates)
+        params = traverse_util.unflatten_dict({**frozen, **trainable})
         return FullTrainState(step=state.step + 1, params=params, opt_state=opt_state), metrics
 
     return train_step
