@@ -42,6 +42,31 @@ def test_seed_sharded_sampling_matches_unsharded():
 
 
 @requires_8
+def test_cli_sampling_mesh_devices_smoke(tmp_path):
+    """--mesh_devices shards the tiny CLI run's rows over the virtual mesh
+    end to end (the pipeline-level wiring of seed_sharded_unet_fn)."""
+    from tweediemix_tpu.cli.fusion_sampling import main
+
+    out = tmp_path / "out"
+    rc = main([
+        "--model_preset", "tiny",
+        "--prompt", "a cat+a dog+bg",
+        "--prompt_orig", "a cat and a dog",
+        "--concepts", "cat+dog+bg",
+        "--modifier_token", "<a>+<b>+<c>",
+        "--seg_concepts", "a cat+a dog",
+        "--seg_preset", "heuristic",
+        "--output_path", str(out),
+        "--n_timesteps", "4", "--t_cond", "0.5",
+        "--resampling_steps", "0", "--jumping_steps", "0",
+        "--resolution_h", "128", "--resolution_w", "128",
+        "--num_seeds", "2", "--mesh_devices", "2",
+    ])
+    assert rc == 0
+    assert len(list(out.glob("*.png"))) == 2
+
+
+@requires_8
 def test_dryrun_multichip_entrypoint():
     import __graft_entry__
 

@@ -18,6 +18,9 @@ import jax.numpy as jnp
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--no-remat", action="store_true")
+    ap.add_argument("--bf16-master", action="store_true",
+                    help="keep trainable leaves bf16 (default: fp32 masters, "
+                         "the cli/train.py AMP configuration)")
     ap.add_argument("--batch", type=int, default=2)
     ap.add_argument("--res", type=int, default=512)
     args = ap.parse_args()
@@ -81,15 +84,22 @@ def main():
 
     tcfg = TrainConfig(learning_rate=1e-5, with_prior_preservation=True)
     mask = full_trainable_mask(params, "crossattn_kv", True)
+    if not args.bf16_master:
+        from tweediemix_tpu.training.trainer import promote_trainable_to_fp32
+
+        params = promote_trainable_to_fp32(params, mask)
+        print("trainable leaves promoted to fp32 masters")
     n_train = sum(x.size for x in trainable_subset(params, mask).values())
     print(f"trainable: {n_train/1e6:.1f}M")
     opt = make_full_optimizer(tcfg, mask)
     rm1 = embedding_row_mask(c1.vocab_size, [42])
     rm2 = embedding_row_mask(c2.vocab_size, [42])
     tids = jnp.array([[args.res, args.res, 0, 0, args.res, args.res]], jnp.float32)
+    # donate the state: without it params+opt live twice (in+out) and the
+    # 3.4B-param step cannot fit in 15.75 GiB HBM
     step = jax.jit(make_full_train_step(
         unet, te1, te2, tcfg, training_alphas_cumprod(), opt, rm1, rm2, tids,
-        mask=mask))
+        mask=mask), donate_argnums=(0,))
 
     state = FullTrainState(
         step=jnp.zeros((), jnp.int32), params=params,
@@ -102,6 +112,16 @@ def main():
         "ids_two": ids,
         "is_prior": jnp.tile(jnp.array([0.0, 1.0]), b)[:b],
     }
+
+    compiled = step.lower(state, batch, jax.random.PRNGKey(1)).compile()
+    ma = compiled.memory_analysis()
+    if ma is not None:
+        for f in ("argument_size_in_bytes", "output_size_in_bytes",
+                  "temp_size_in_bytes", "generated_code_size_in_bytes"):
+            v = getattr(ma, f, None)
+            if v is not None:
+                print(f"memory_analysis.{f}: {v/2**30:.2f} GiB")
+    step = compiled
 
     t0 = time.time()
     try:

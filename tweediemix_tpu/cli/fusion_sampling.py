@@ -71,6 +71,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="directory for a jax.profiler trace + phase timings")
     p.add_argument("--num_seeds", type=int, default=1,
                    help="sample this many seeds (seed..seed+n-1) in one batch")
+    p.add_argument("--mesh_devices", type=int, default=1,
+                   help="shard every forward's batch rows over this many "
+                        "devices (seeds-in-parallel serving layout)")
     return p
 
 
@@ -259,7 +262,8 @@ def main(argv=None) -> int:
     with prof_ctx:
         with timer.phase(f"sample_{opt.num_seeds}_seeds"):
             imgs = pipe.sample(embeds, seed=opt.seed, fg_masks=fg_masks,
-                               num_seeds=opt.num_seeds)
+                               num_seeds=opt.num_seeds,
+                               mesh_devices=opt.mesh_devices)
         orig_names = [o.strip() for o in opt.prompt_orig.split("||")]
         for i in range(imgs.shape[0]):
             name = orig_names[i] if len(orig_names) > 1 else orig_names[0]

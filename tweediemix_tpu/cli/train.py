@@ -147,8 +147,8 @@ def main(argv=None) -> int:
             load_clip_params, load_unet_params, load_vae_params)
 
         d = opt.model_dir
-        c1 = CLIPTextConfig.sdxl_text_encoder()
-        c2 = CLIPTextConfig.sdxl_text_encoder_2()
+        c1 = CLIPTextConfig.sdxl_text_encoder(dtype=jnp.bfloat16)
+        c2 = CLIPTextConfig.sdxl_text_encoder_2(dtype=jnp.bfloat16)
         ucfg = UNetConfig.sdxl(
             dtype=jnp.bfloat16,
             lora_slots=1 if lora else 0, lora_rank=opt.lora_rank,
@@ -158,12 +158,14 @@ def main(argv=None) -> int:
         vcfg = VAEConfig.sdxl()
         tok1 = CLIPBPETokenizer.from_dir(os.path.join(d, "tokenizer"))
         tok2 = CLIPBPETokenizer.from_dir(os.path.join(d, "tokenizer_2"))
-        te1_params = load_clip_params(os.path.join(d, "text_encoder"))
-        te2_params = load_clip_params(os.path.join(d, "text_encoder_2"))
+        # bf16 params (trainable leaves are promoted to fp32 masters below);
+        # fp32 everything would not fit training in one chip's HBM
+        te1_params = load_clip_params(os.path.join(d, "text_encoder"), dtype=jnp.bfloat16)
+        te2_params = load_clip_params(os.path.join(d, "text_encoder_2"), dtype=jnp.bfloat16)
         vae = AutoencoderKL(vcfg)
         vae_params = load_vae_params(os.path.join(d, "vae"))
         unet = UNet2DConditionModel(ucfg)
-        unet_params = load_unet_params(os.path.join(d, "unet"))
+        unet_params = load_unet_params(os.path.join(d, "unet"), dtype=jnp.bfloat16)
         if lora:
             from tweediemix_tpu.concepts.delta import stack_lora_params
 
@@ -280,6 +282,10 @@ def main(argv=None) -> int:
     )
     params = {"unet": unet_params, "te1": te1_params, "te2": te2_params}
     mask = full_trainable_mask(params, opt.freeze_model, bool(modifier_tokens))
+    # bf16 checkpoints: trainable leaves get fp32 master copies (AMP)
+    from tweediemix_tpu.training.trainer import promote_trainable_to_fp32
+
+    params = promote_trainable_to_fp32(params, mask)
     optimizer = make_full_optimizer(tcfg, mask, opt.gradient_accumulation_steps)
     acp = training_alphas_cumprod()
     time_ids = jnp.array(
@@ -289,6 +295,8 @@ def main(argv=None) -> int:
     rm2 = embedding_row_mask(c2.vocab_size, ids2) if modifier_tokens else None
     step_fn = make_full_train_step(unet, te1, te2, tcfg, acp, optimizer, rm1, rm2,
                                    time_ids, mask=mask)
+    # donate the state: without it params+optimizer live twice (input +
+    # output buffers) and full-SDXL training cannot fit in one chip's HBM
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -297,9 +305,10 @@ def main(argv=None) -> int:
             step_fn,
             in_shardings=(rep, NamedSharding(mesh, P("dp")), rep),
             out_shardings=(rep, rep),
+            donate_argnums=(0,),
         )
     else:
-        train_step = jax.jit(step_fn)
+        train_step = jax.jit(step_fn, donate_argnums=(0,))
 
     from tweediemix_tpu.training.trainer import trainable_subset
 

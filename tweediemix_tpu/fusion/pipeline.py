@@ -217,20 +217,40 @@ class TweedieMixPipeline:
         seed: int = 0,
         fg_masks=None,
         num_seeds: int = 1,
+        mesh_devices: int = 1,
     ):
         """Run the fusion trajectory and decode. Returns [S,H,W,3] in [0,1].
 
         ``num_seeds`` > 1 batches independent seeds through every UNet
-        forward (one compiled trajectory, S images)."""
-        if self._sampler is None:
+        forward (one compiled trajectory, S images). ``mesh_devices`` > 1
+        shards every forward's batch rows over a 1-D dp mesh (the v5e-8
+        "seeds in parallel" serving layout); row counts (2·S joint,
+        (N+1)·S fused) must divide the device count."""
+        if self._sampler is None or getattr(self, "_sampler_mesh", 1) != mesh_devices:
+            unet_fn = self._unet_fn()
+            params = self.unet_params
+            if mesh_devices > 1:
+                from tweediemix_tpu.parallel.mesh import (
+                    make_mesh, replicate, seed_sharded_unet_fn)
+
+                mesh = make_mesh({"dp": mesh_devices},
+                                 devices=jax.devices()[:mesh_devices])
+                n1 = self.fusion_config.num_concepts + 1
+                if (2 * num_seeds) % mesh_devices or (n1 * num_seeds) % mesh_devices:
+                    raise ValueError(
+                        f"row counts 2*{num_seeds} and {n1}*{num_seeds} must "
+                        f"divide --mesh_devices {mesh_devices}")
+                unet_fn = seed_sharded_unet_fn(mesh, unet_fn)
+                params = replicate(mesh, params)
             self._sampler = FusionSampler(
                 self.table,
                 self.fusion_config,
-                self._unet_fn(),
-                unet_params=self.unet_params,
+                unet_fn,
+                unet_params=params,
                 decode_preview_fn=self.decode_preview,
                 segment_fn=self.segment_fn,
             )
+            self._sampler_mesh = mesh_devices
         x = self._sampler.run(
             embeds, jax.random.PRNGKey(seed), fg_masks=fg_masks, num_seeds=num_seeds
         )

@@ -72,6 +72,19 @@ def merge_subset(params, subset) -> Dict:
     return traverse_util.unflatten_dict(flat)
 
 
+def promote_trainable_to_fp32(params, mask) -> Dict:
+    """fp32 master copies of the trainable leaves (frozen bulk stays bf16).
+
+    The AMP equivalent of the reference's fp32 master weights: at lr=1e-5 a
+    single AdamW update is below bf16 weight resolution, so bf16 trainable
+    weights would never move. Compute still runs in the module dtype."""
+    flat = dict(traverse_util.flatten_dict(params))
+    for p, on in traverse_util.flatten_dict(mask).items():
+        if on and flat[p].dtype == jnp.bfloat16:
+            flat[p] = flat[p].astype(jnp.float32)
+    return traverse_util.unflatten_dict(flat)
+
+
 def make_full_optimizer(cfg: TrainConfig, mask, accumulation_steps: int = 1):
     """clip+AdamW over the trainable subset (init with
     ``trainable_subset(params, mask)``). Frozen leaves never see the
@@ -168,11 +181,13 @@ def make_full_train_step(
         (_, metrics), grads = jax.value_and_grad(
             loss_from_trainable, has_aux=True
         )(trainable)
-        # zero non-modifier embedding-row grads
+        # zero non-modifier embedding-row grads (dtype-preserving: an fp32
+        # mask would promote bf16 grads and drift the opt-state dtype,
+        # recompiling every step)
         for key, row_mask in (("te1", row_mask_1), ("te2", row_mask_2)):
             p = (key, "token_embedding", "embedding")
             if row_mask is not None and p in grads:
-                grads[p] = grads[p] * row_mask
+                grads[p] = (grads[p] * row_mask).astype(grads[p].dtype)
         updates, opt_state = optimizer.update(grads, state.opt_state, trainable)
         trainable = optax.apply_updates(trainable, updates)
         params = traverse_util.unflatten_dict({**frozen, **trainable})
