@@ -259,6 +259,31 @@ def test_cli_sam_preset_fails_fast_without_weights(tmp_path):
         ])
 
 
+def test_draw_image_overlay_and_boxes():
+    from tweediemix_tpu.segmentation.viz import draw_image
+
+    img = np.zeros((20, 30, 3), np.float32)
+    mask = np.zeros((20, 30), np.float32)
+    mask[5:10, 5:10] = 1.0
+    out = draw_image(img, mask[None], boxes=np.array([[0.1, 0.2, 0.8, 0.9]]))
+    assert out.shape == (20, 30, 3)
+    assert out.min() >= 0.0 and out.max() <= 1.0
+    assert out[7, 7].sum() > 0  # mask region colored
+    assert out[4, 4].sum() > 0  # box outline at (y=0.2*20, x=0.1*30)=(4,3)
+    assert out[0, 0].sum() == 0  # untouched background
+
+
+def test_app_predict_headless():
+    """The gradio demo's predict path runs without gradio (app.py parity)."""
+    from tweediemix_tpu.cli.app import make_predict_fn
+
+    predict = make_predict_fn("sam-random")
+    img = np.random.RandomState(0).rand(48, 40, 3).astype(np.float32)
+    out = predict(img, "a cat", box_threshold=0.0)
+    assert out.shape == (48, 40, 3)
+    assert float(np.abs(out - img).max()) > 1e-4  # something was drawn
+
+
 def test_vit_rel_pos_bias():
     """Zero rel-pos tables reproduce the no-bias path; nonzero tables
     change the output (SAM decomposed relative positions)."""

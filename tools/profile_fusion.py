@@ -30,6 +30,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--seeds", type=int, default=1)
     ap.add_argument("--trace", type=str, default=None)
+    ap.add_argument("--dump-hlo", type=str, default=None,
+                    help="write the fused-scan compiled HLO text here")
+    ap.add_argument("--fast", action="store_true",
+                    help="only compile/measure the fused scan")
     ap.add_argument("--res", type=int, default=1024)
     args = ap.parse_args()
 
@@ -99,6 +103,29 @@ def main():
         vae.apply({"params": vp}, unscale_latents(z, vcfg), method=vae.decode)))
 
     ci, ne = fcfg.t_cond_idx, fcfg.n_timesteps
+
+    if args.dump_hlo:
+        compiled = sampler._jit_fused.lower(
+            uparams, embeds, x, masks, start=ci, stop=ci + 4
+        ).compile()
+        with open(args.dump_hlo, "w") as f:
+            f.write(compiled.as_text())
+        print("HLO written to", args.dump_hlo)
+
+    if args.fast:
+        dt4 = timeit(lambda: sampler._jit_fused(
+            uparams, embeds, x, masks, start=ci, stop=ci + 4), n=3, warm=1)
+        dt8 = timeit(lambda: sampler._jit_fused(
+            uparams, embeds, x, masks, start=ci, stop=ci + 8), n=3, warm=1)
+        print(f"fused ms/step (batch {(n_concepts+1)*s} rows): "
+              f"{(dt8-dt4)/4*1000:.1f}")
+        if args.trace:
+            with jax.profiler.trace(args.trace):
+                jax.block_until_ready(sampler._jit_fused(
+                    uparams, embeds, x, masks, start=ci, stop=ci + 4))
+            print("trace written to", args.trace)
+        return
+
     phases = {
         "prologue(1 step + %d resample)" % fcfg.resampling_steps:
             lambda: sampler._jit_prologue(uparams, embeds, x)[0],
