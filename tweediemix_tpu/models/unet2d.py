@@ -126,6 +126,22 @@ class UNetConfig:
         return UNetConfig(**defaults)
 
 
+class _Kernel(nn.Module):
+    """Bare [in, out] kernel with the same param path as an unbiased Dense
+    (``<name>/kernel``) so merged-projection attention keeps the checkpoint
+    layout."""
+
+    in_dim: int
+    out_dim: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "kernel", nn.initializers.lecun_normal(), (self.in_dim, self.out_dim),
+            jnp.float32,
+        )
+
+
 class Attention(nn.Module):
     """QKV attention with optional concept-stacked K/V and LoRA deltas."""
 
@@ -163,6 +179,25 @@ class Attention(nn.Module):
                 jnp.float32,
             )
             return lora_delta(inp, down, up, concept_idx)
+
+        if not is_cross:
+            # self-attention: one merged [C, 3*inner] matmul instead of three
+            # (fewer passes over x, larger MXU tiles); param paths unchanged
+            wq = _Kernel(self.query_dim, inner, name="to_q")()
+            wk = _Kernel(ctx_dim, inner, name="to_k")()
+            wv = _Kernel(ctx_dim, inner, name="to_v")()
+            w = jnp.concatenate([wq, wk, wv], axis=1).astype(self.dtype)
+            qkv = jnp.einsum("bsc,cd->bsd", x, w)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            if self.lora_slots:
+                q = q + lora("to_q", x, self.query_dim, inner)
+                k = k + lora("to_k", ctx, ctx_dim, inner)
+                v = v + lora("to_v", ctx, ctx_dim, inner)
+            out = multi_head_attention(q, k, v, self.heads)
+            proj = nn.Dense(self.query_dim, dtype=self.dtype, name="to_out_0")(out)
+            if self.lora_slots:
+                proj = proj + lora("to_out", out, inner, self.query_dim)
+            return proj
 
         q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
         if self.concept_slots and is_cross:
@@ -341,7 +376,11 @@ class Upsample2D(nn.Module):
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
-        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        # exact nearest-2x via broadcast+reshape (jax.image.resize lowers to
+        # a gather, which tiles poorly on TPU)
+        x = jnp.broadcast_to(
+            x[:, :, None, :, None, :], (b, h, 2, w, 2, c)
+        ).reshape(b, h * 2, w * 2, c)
         return nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv")(x)
 
 

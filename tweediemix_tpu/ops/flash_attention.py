@@ -47,6 +47,10 @@ def _flash_kernel(
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
+    # scale folded into q in log2 domain (q pre-scaled by scale*log2(e) on
+    # the host side): saves a full VPU pass over the SxS scores, and exp2 is
+    # the native transcendental. The running max/denominator then live in
+    # the log2 domain, which cancels in the final normalization.
     q = q_ref[0]
     k = k_ref[0]
     s = jax.lax.dot_general(
@@ -55,7 +59,7 @@ def _flash_kernel(
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    s = s * scale
+    del scale  # already folded into q
 
     if needs_mask:
         kv_len = kv_len_ref[0, 0]
@@ -65,8 +69,8 @@ def _flash_kernel(
     m_prev = m_scr[:, :1]
     m_cur = jnp.max(s, axis=1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
-    p = jnp.exp(s - m_new)
-    corr = jnp.exp(m_prev - m_new)
+    p = jnp.exp2(s - m_new)
+    corr = jnp.exp2(m_prev - m_new)
 
     l_new = l_scr[:, :1] * corr + jnp.sum(p, axis=1, keepdims=True)
     m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
@@ -115,6 +119,10 @@ def flash_attention(
     sk = k.shape[1]
     if scale is None:
         scale = float(dh) ** -0.5
+    # fold softmax scale and the exp→exp2 base change into q (see kernel)
+    import math
+
+    q = (q.astype(jnp.float32) * (scale * math.log2(math.e))).astype(q.dtype)
 
     block_q = min(block_q, _round_up(sq, 128))
     block_k = min(block_k, _round_up(sk, 128))
