@@ -1,0 +1,84 @@
+"""Video-stage benchmark: 16-frame 512px I2VGen-XL clip, 50 steps, CFG 9.
+
+Measures the full jitted denoising loop (CFG pair per step) plus the
+chunked per-frame fp32 VAE decode with random weights on the real chip —
+the run_video.py configuration. BASELINE target: <30 s/clip on v5e-8
+(240 chip-seconds); prints the single-chip chip-seconds equivalent.
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/bench_video.py
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from tweediemix_tpu.models.unet3d import UNet3DConditionModel, UNet3DConfig
+    from tweediemix_tpu.models.vae import AutoencoderKL, VAEConfig
+    from tweediemix_tpu.video.pipeline import I2VPipeline, VideoConfig
+
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        ucfg = UNet3DConfig.i2vgen(dtype=jnp.bfloat16)
+        vcfg = VAEConfig(scaling_factor=0.18215)
+        vid = VideoConfig()  # 50 steps, 512px, 16 frames, fps 8, guidance 9
+        ctx_len = 77
+    else:
+        ucfg = UNet3DConfig.tiny()
+        vcfg = VAEConfig.tiny()
+        vid = VideoConfig(n_timesteps=4, num_frames=4, height=32, width=32,
+                          latent_factor=2)
+        ctx_len = 8
+
+    key = jax.random.PRNGKey(0)
+    unet = UNet3DConditionModel(ucfg)
+    vae = AutoencoderKL(vcfg)
+    f = vid.num_frames
+    h, w = vid.latent_hw
+
+    def zeros_params(model, *a):
+        shapes = jax.eval_shape(model.init, key, *a)["params"]
+        dt = jnp.bfloat16 if on_tpu else None
+        return jax.tree.map(lambda s: jnp.zeros(s.shape, dt or s.dtype), shapes)
+
+    uparams = zeros_params(
+        unet, jnp.zeros((2, f, h, w, 4)), jnp.int32(1),
+        jnp.zeros((2, ctx_len, ucfg.cross_attention_dim)),
+        jnp.zeros((2, f, h, w, 4)),
+        jnp.zeros((2, 1, ucfg.cross_attention_dim)),
+        jnp.float32(8.0),
+    )
+    vparams = jax.tree.map(
+        lambda s: jnp.zeros(s.shape, s.dtype),
+        jax.eval_shape(vae.init, key, jnp.zeros((1, 32, 32, 3)),
+                       jax.random.PRNGKey(1))["params"],
+    )
+
+    pipe = I2VPipeline(vid, unet, uparams, vae, vparams)
+    ctx = 0.1 * jax.random.normal(key, (1, ctx_len, ucfg.cross_attention_dim))
+    uctx = jnp.zeros_like(ctx)
+    img = jax.random.uniform(jax.random.fold_in(key, 1),
+                             (1, vid.height, vid.width, 3)) * 2.0 - 1.0
+    emb = 0.1 * jax.random.normal(jax.random.fold_in(key, 2),
+                                  (1, 1, ucfg.cross_attention_dim))
+
+    video = pipe.generate(ctx, uctx, img, emb, seed=0)  # compile + warm
+    jax.block_until_ready(video)
+    t0 = time.perf_counter()
+    video = pipe.generate(ctx, uctx, img, emb, seed=1)
+    jax.block_until_ready(video)
+    dt = time.perf_counter() - t0
+
+    print(json.dumps({
+        "metric": "i2v_16f_512_50step_s_per_clip" if on_tpu else "i2v_tiny_cpu_s_per_clip",
+        "value": round(dt, 2),
+        "unit": "s",
+        "chip_seconds_vs_240_budget": round(dt / 240.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
