@@ -390,6 +390,8 @@ def test_convert_sam_roundtrip_tiny():
         elif path == ("prompt_encoder", "corner_embed"):
             sd["prompt_encoder.point_embeddings.2.weight"] = rng.randn(1, leafshape.shape[1]).astype(np.float32)
             sd["prompt_encoder.point_embeddings.3.weight"] = rng.randn(1, leafshape.shape[1]).astype(np.float32)
+        elif path == ("prompt_encoder", "no_mask_embed"):
+            sd["prompt_encoder.no_mask_embed.weight"] = rng.randn(1, leafshape.shape[0]).astype(np.float32)
         elif path == ("mask_decoder", "iou_token"):
             sd["mask_decoder.iou_token.weight"] = rng.randn(*leafshape.shape).astype(np.float32)
         elif path == ("mask_decoder", "mask_tokens"):
@@ -399,7 +401,6 @@ def test_convert_sam_roundtrip_tiny():
             sd[name] = arr
     # upstream extras that must be ignored cleanly
     sd["prompt_encoder.not_a_point_embed.weight"] = rng.randn(1, cfg.prompt_dim).astype(np.float32)
-    sd["prompt_encoder.no_mask_embed.weight"] = rng.randn(1, cfg.prompt_dim).astype(np.float32)
 
     got = traverse_util.flatten_dict(convert_sam_state_dict(sd))
     assert set(got) == set(want), (set(want) - set(got), set(got) - set(want))

@@ -82,6 +82,86 @@ def test_clip_vision_tower_matches_hf():
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
 
 
+def _hf_sam_to_original_names(sd):
+    """transformers SamModel state dict → original segment-anything names
+    (the layout our converter and lang-segment-anything checkpoints use)."""
+    import re
+
+    out = {}
+    for k, v in sd.items():
+        n = k
+        n = n.replace("vision_encoder.", "image_encoder.")
+        n = n.replace("patch_embed.projection", "patch_embed.proj")
+        n = re.sub(r"image_encoder\.layers\.(\d+)\.", r"image_encoder.blocks.\1.", n)
+        n = n.replace(".layer_norm1.", ".norm1.").replace(".layer_norm2.", ".norm2.")
+        n = (n.replace("neck.conv1", "neck.0").replace("neck.norm1", "neck.1")
+               .replace("neck.conv2", "neck.2").replace("neck.norm2", "neck.3"))
+        if n == "shared_image_embedding.positional_embedding":
+            n = "prompt_encoder.pe_layer.positional_encoding_gaussian_matrix"
+        if n == "prompt_encoder.shared_embedding.positional_embedding":
+            continue  # duplicate of the shared embedding
+        n = re.sub(r"prompt_encoder\.point_embed\.(\d)\.", r"prompt_encoder.point_embeddings.\1.", n)
+        # decoder
+        n = re.sub(r"(transformer\.layers\.\d+)\.layer_norm(\d)", r"\1.norm\2", n)
+        n = n.replace("transformer.layer_norm_final_attn", "transformer.norm_final_attn")
+        n = n.replace("upscale_conv1", "output_upscaling.0")
+        n = n.replace("upscale_layer_norm", "output_upscaling.1")
+        n = n.replace("upscale_conv2", "output_upscaling.3")
+        # 3-layer MLPs: HF proj_in / layers.0 / proj_out → original
+        # layers.0 / 1 / 2 (rename the middle FIRST to avoid collisions)
+        for head in ("output_hypernetworks_mlps\\.\\d+", "iou_prediction_head"):
+            n = re.sub(rf"({head})\.layers\.0\.", r"\1.layers.1.", n)
+            n = re.sub(rf"({head})\.proj_in\.", r"\1.layers.0.", n)
+            n = re.sub(rf"({head})\.proj_out\.", r"\1.layers.2.", n)
+        out[n] = v
+    return out
+
+
+def test_sam_matches_hf():
+    """Full SamModel (box prompt, multimask_output=False) vs our Flax SAM:
+    converted weights must reproduce HF's low-res mask logits and IoU —
+    covering window/global rel-pos attention, the neck, the two-way
+    decoder (incl. the no-residual first self-attn), the no_mask dense
+    embedding, upscaling, and the hypernetwork/iou heads."""
+    from transformers import SamConfig, SamModel
+
+    from tweediemix_tpu.models.convert import convert_sam_state_dict
+    from tweediemix_tpu.segmentation.sam import SAM, SAMConfig
+
+    torch.manual_seed(3)
+    hf_cfg = SamConfig(
+        vision_config=dict(hidden_size=32, num_hidden_layers=2,
+                           num_attention_heads=2, image_size=64, patch_size=8,
+                           output_channels=16, global_attn_indexes=[1],
+                           window_size=4, mlp_ratio=4.0, num_pos_feats=8),
+        prompt_encoder_config=dict(hidden_size=16, image_embedding_size=8,
+                                   image_size=64, patch_size=8,
+                                   mask_input_channels=4),
+        mask_decoder_config=dict(hidden_size=16, num_attention_heads=2,
+                                 iou_head_hidden_dim=16, mlp_dim=128),
+    )
+    model = SamModel(hf_cfg).eval()
+    px = torch.randn(1, 3, 64, 64)
+    boxes01 = np.array([[0.1, 0.2, 0.7, 0.8], [0.3, 0.1, 0.9, 0.6]], np.float32)
+    # HF shifts boxes by +0.5px then normalizes by image_size; feed pixel
+    # coords that normalize to exactly boxes01
+    boxes_px = torch.tensor(boxes01 * 64.0 - 0.5)[None]
+    with torch.no_grad():
+        out = model(pixel_values=px, input_boxes=boxes_px, multimask_output=False)
+    want_masks = out.pred_masks[0, :, 0].numpy()  # [2, 32, 32]
+    want_iou = out.iou_scores[0, :, 0].numpy()
+
+    sd = _hf_sam_to_original_names(_sd(model))
+    params = convert_sam_state_dict(sd)
+    ours = SAM(SAMConfig.tiny())
+    masks, iou = ours.apply(
+        {"params": params}, jnp.asarray(px.permute(0, 2, 3, 1).numpy()),
+        jnp.asarray(boxes01),
+    )
+    np.testing.assert_allclose(np.asarray(masks), want_masks, rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(iou), want_iou, rtol=1e-3, atol=1e-4)
+
+
 def test_owlvit_detector_matches_hf():
     """Full OwlViTForObjectDetection vs our TextBoxDetector: converted
     weights must reproduce HF's class logits and boxes (incl. the merged

@@ -129,9 +129,10 @@ def convert_sam_state_dict(sd: Dict[str, np.ndarray], dtype=None) -> Dict:
     """segment-anything checkpoint → our Flax SAM params.
 
     Covers the box-prompt path (image encoder, pe layer + box corner
-    embeddings, two-way mask decoder). Point/mask-prompt embeddings of the
-    upstream prompt encoder (``not_a_point_embed``, ``mask_downscaling``,
-    ``no_mask_embed``) are dropped — the reference only uses box prompts
+    embeddings, ``no_mask_embed`` dense constant, two-way mask decoder).
+    Point/mask-prompt embeddings of the upstream prompt encoder
+    (``not_a_point_embed``, ``mask_downscaling``) are dropped — the
+    reference only uses box prompts
     (``text_segment/lang_sam/lang_sam.py:121-131``)."""
     out = {}
     corner = {}
@@ -175,6 +176,8 @@ def convert_sam_state_dict(sd: Dict[str, np.ndarray], dtype=None) -> Dict:
             put(("image_encoder", *neck_map[idx], flax_leaf), arr)
         elif name == "prompt_encoder.pe_layer.positional_encoding_gaussian_matrix":
             out[("prompt_encoder", "pe_gaussian")] = arr
+        elif name == "prompt_encoder.no_mask_embed.weight":
+            out[("prompt_encoder", "no_mask_embed")] = arr.reshape(-1)
         elif name.startswith("prompt_encoder.point_embeddings."):
             # entries 2 and 3 are the box corner embeddings
             idx = int(parts[2])

@@ -187,12 +187,19 @@ class SAMPromptEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, boxes):  # [B, 4] xyxy in [0,1]
+        """→ (sparse corner embeddings [B, 2, D], no-mask dense embed [D]).
+
+        The dense embedding is upstream's learned ``no_mask_embed`` constant,
+        added per-channel to the image features when no mask prompt is given
+        (prompt_encoder.py:_get_dense_pe path)."""
         cfg = self.config
         corners = boxes.reshape(-1, 2, 2)  # two corner points
         pe = self.fourier(corners)  # [B, 2, D]
         corner_emb = self.param("corner_embed", nn.initializers.normal(0.02),
                                 (2, cfg.prompt_dim), jnp.float32)
-        return pe + corner_emb[None]
+        no_mask = self.param("no_mask_embed", nn.initializers.normal(0.02),
+                             (cfg.prompt_dim,), jnp.float32)
+        return pe + corner_emb[None], no_mask
 
     @nn.compact
     def dense_pe(self, grid: int):
@@ -233,11 +240,14 @@ class TwoWayBlock(nn.Module):
 
     @nn.compact
     def __call__(self, tokens, image, token_pe, image_pe, first: bool):
-        # token self-attention (full dim)
+        # token self-attention (full dim). Upstream's first layer REPLACES
+        # the queries with the attention output (no residual, no PE —
+        # two_way_transformer.py skip_first_layer_pe)
         q = tokens + (0.0 if first else token_pe)
         attn = SAMAttention(self.dim, self.heads, 1, self.dtype, name="self_attn")(
             q, q, tokens)
-        tokens = nn.LayerNorm(dtype=self.dtype, name="norm1")(tokens + attn)
+        tokens = nn.LayerNorm(dtype=self.dtype, name="norm1")(
+            attn if first else tokens + attn)
         # token → image cross-attention (downsampled)
         attn = SAMAttention(self.dim, self.heads, self.downsample_rate, self.dtype,
                             name="cross_attn_token_to_image")(
@@ -332,14 +342,17 @@ class SAM(nn.Module):
 
     def decode_boxes(self, image_feats, boxes):
         """image_feats [1, g, g, D], boxes [N, 4] xyxy in [0,1] →
-        (mask logits [N, 4g, 4g], iou [N]) taking the best-IoU mask."""
+        (mask logits [N, 4g, 4g], iou [N]).
+
+        Uses mask token 0 — the reference calls the predictor with
+        ``multimask_output=False`` (text_segment/lang_sam/lang_sam.py:129),
+        which slices the single-mask output."""
         g = image_feats.shape[1]
-        sparse = self.prompt_encoder(boxes)  # [N, 2, D]
+        sparse, no_mask = self.prompt_encoder(boxes)  # [N, 2, D], [D]
         image_pe = self.prompt_encoder.dense_pe(g)
-        feats = jnp.tile(image_feats, (boxes.shape[0], 1, 1, 1))
+        feats = jnp.tile(image_feats, (boxes.shape[0], 1, 1, 1)) + no_mask
         masks, iou = self.mask_decoder(feats, image_pe, sparse)
-        best = jnp.argmax(iou, axis=1)
-        return masks[jnp.arange(masks.shape[0]), best], jnp.max(iou, axis=1)
+        return masks[:, 0], iou[:, 0]
 
     def __call__(self, pixels, boxes):
         feats = self.encode_image(pixels)
