@@ -82,6 +82,47 @@ def test_clip_vision_tower_matches_hf():
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
 
 
+def test_clip_bpe_tokenizer_matches_hf(tmp_path):
+    """Our CLIP BPE implementation must produce identical ids to
+    transformers' CLIPTokenizer (lowercasing, whitespace cleanup,
+    punctuation splitting, merge ranks, bos/eos/pad-with-eos)."""
+    import json
+
+    from transformers import CLIPTokenizer
+    from transformers.models.clip.tokenization_clip import bytes_to_unicode
+
+    from tweediemix_tpu.utils.tokenizer import CLIPBPETokenizer
+
+    base = list(bytes_to_unicode().values())
+    vocab = {}
+    for ch in base:
+        vocab[ch] = len(vocab)
+    for ch in base:
+        vocab[ch + "</w>"] = len(vocab)
+    merges = ["t h", "th e</w>", "c a", "ca t</w>", "d o", "do g</w>",
+              "r u", "ru n", "run n", "runn i", "runni n", "runnin g</w>"]
+    for m in merges:
+        a, b = m.split()
+        vocab[a + b] = len(vocab)
+    vocab["<|startoftext|>"] = len(vocab)
+    vocab["<|endoftext|>"] = len(vocab)
+    (tmp_path / "vocab.json").write_text(json.dumps(vocab))
+    (tmp_path / "merges.txt").write_text("#version: 0.2\n" + "\n".join(merges) + "\n")
+
+    hf = CLIPTokenizer(str(tmp_path / "vocab.json"), str(tmp_path / "merges.txt"))
+    ours = CLIPBPETokenizer.from_dir(str(tmp_path))
+    texts = [
+        "the cat and a dog running!",
+        "THE Cat  dog...",
+        "photo of a <new1> cat, mountain background",
+        "",
+        "a" * 300,  # truncation
+    ]
+    want = hf(texts, padding="max_length", max_length=77, truncation=True)["input_ids"]
+    got = ours(texts)
+    assert got == want
+
+
 def _hf_sam_to_original_names(sd):
     """transformers SamModel state dict → original segment-anything names
     (the layout our converter and lang-segment-anything checkpoints use)."""
