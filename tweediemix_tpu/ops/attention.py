@@ -94,12 +94,18 @@ def attention(
     if scale is None:
         scale = float(dh) ** -0.5
     if _use_flash(q.shape[1], dh) and k.shape[1] >= _FLASH_MIN_SK:
-        block_q = 1024 if k.shape[1] >= 2048 else 512
+        # measured v5e sweep (tools/bench_attention.py, ones-column kernel):
+        #   S=4096: (2048,1024) 3.33 ms / 51.6 TFLOP/s (best)
+        #   S=1024: (1024,512)  1.49 ms (best)
+        if k.shape[1] >= 2048:
+            block_q, block_k = 2048, 1024
+        else:
+            block_q, block_k = 1024, 512
         if interpret:
             return flash_attention(
-                q, k, v, scale=scale, block_q=block_q, block_k=1024, interpret=True
+                q, k, v, scale=scale, block_q=block_q, block_k=block_k, interpret=True
             )
-        return _flash(q, k, v, scale, block_q, 1024)
+        return _flash(q, k, v, scale, block_q, block_k)
     return _xla_attention(q, k, v, scale)
 
 

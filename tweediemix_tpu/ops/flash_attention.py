@@ -28,14 +28,14 @@ def _flash_kernel(
     kv_len_ref,  # SMEM (1,1) int32: true kv length (<= padded Sk)
     q_ref,  # VMEM [1, block_q, dh]
     k_ref,  # VMEM [1, block_k, dh]
-    v_ref,  # VMEM [1, block_k, dh]
+    v_ref,  # VMEM [1, block_k, dh_acc] — v widened with a ones-column at dh
     o_ref,  # VMEM [1, block_q, dh]
-    m_scr,  # VMEM [block_q, 128] fp32 running max
-    l_scr,  # VMEM [block_q, 128] fp32 running denom
-    acc_scr,  # VMEM [block_q, dh] fp32 accumulator
+    m_scr,  # VMEM [block_q, 128] fp32 running max (column 0)
+    acc_scr,  # VMEM [block_q, dh_acc] fp32 accumulator (column dh = denom)
     *,
     scale: float,
     block_k: int,
+    dh: int,
     needs_mask: bool,
 ):
     kv_idx = pl.program_id(2)
@@ -44,7 +44,6 @@ def _flash_kernel(
     @pl.when(kv_idx == 0)
     def _init():
         m_scr[:] = jnp.full_like(m_scr, NEG_INF)
-        l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
     # scale folded into q in log2 domain (q pre-scaled by scale*log2(e) on
@@ -71,11 +70,12 @@ def _flash_kernel(
     m_new = jnp.maximum(m_prev, m_cur)
     p = jnp.exp2(s - m_new)
     corr = jnp.exp2(m_prev - m_new)
+    m_scr[:, :1] = m_new
 
-    l_new = l_scr[:, :1] * corr + jnp.sum(p, axis=1, keepdims=True)
-    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
-    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
-
+    # v carries a ones-column at index dh, so this single MXU pass yields
+    # both p@v and the row-sum of p (the softmax denominator) in column dh —
+    # at dh=64 those output lanes are free on the 128-lane MXU, and the
+    # separate VPU sum pass over the [block_q, block_k] scores disappears.
     pv = jax.lax.dot_general(
         p.astype(v_ref.dtype),
         v_ref[0],
@@ -86,8 +86,8 @@ def _flash_kernel(
 
     @pl.when(kv_idx == num_kv - 1)
     def _finish():
-        denom = jnp.maximum(l_scr[:, :1], 1e-30)
-        o_ref[0] = (acc_scr[:] / denom).astype(o_ref.dtype)
+        denom = jnp.maximum(acc_scr[:, dh : dh + 1], 1e-30)
+        o_ref[0] = (acc_scr[:, :dh] / denom).astype(o_ref.dtype)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -136,11 +136,20 @@ def flash_attention(
         k = jnp.pad(k, ((0, 0), (0, sk_p - sk), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, sk_p - sk), (0, 0)))
 
+    # widen v to the 128-lane tile and plant a ones-column at index dh: the
+    # p@v matmul then produces the softmax denominator in that column using
+    # MXU output lanes that dh=64 leaves idle anyway (see kernel). Padding
+    # kv rows keep a zero there — their p is already 0 via the NEG_INF mask.
+    dh_acc = _round_up(dh + 1, 128)
+    ones_col = jnp.zeros((bh, sk_p, dh_acc - dh), v.dtype)
+    ones_col = ones_col.at[:, :sk, 0].set(1.0)
+    v = jnp.concatenate([v, ones_col], axis=-1)
+
     kv_len = jnp.array([[sk]], dtype=jnp.int32)
 
     grid = (bh, sq_p // block_q, sk_p // block_k)
     kernel = functools.partial(
-        _flash_kernel, scale=scale, block_k=block_k, needs_mask=needs_mask
+        _flash_kernel, scale=scale, block_k=block_k, dh=dh, needs_mask=needs_mask
     )
 
     out = pl.pallas_call(
@@ -151,13 +160,12 @@ def flash_attention(
             in_specs=[
                 pl.BlockSpec((1, block_q, dh), lambda b, i, j, *_: (b, i, 0)),
                 pl.BlockSpec((1, block_k, dh), lambda b, i, j, *_: (b, j, 0)),
-                pl.BlockSpec((1, block_k, dh), lambda b, i, j, *_: (b, j, 0)),
+                pl.BlockSpec((1, block_k, dh_acc), lambda b, i, j, *_: (b, j, 0)),
             ],
             out_specs=pl.BlockSpec((1, block_q, dh), lambda b, i, j, *_: (b, i, 0)),
             scratch_shapes=[
                 pltpu.VMEM((block_q, 128), jnp.float32),
-                pltpu.VMEM((block_q, 128), jnp.float32),
-                pltpu.VMEM((block_q, dh), jnp.float32),
+                pltpu.VMEM((block_q, dh_acc), jnp.float32),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((bh, sq_p, dh), q.dtype),
