@@ -85,11 +85,17 @@ def main():
 
     time_ids = jnp.array([[fcfg.height, fcfg.width, 0, 0, fcfg.height, fcfg.width]], jnp.float32)
 
-    def unet_fn(params, x, t, ctx, pooled, idx):
+    def unet_fn(params, x, t, ctx, pooled, idx, cross_kv=None):
         b = x.shape[0]
         return unet.apply(
-            {"params": params}, x, t, ctx, pooled, jnp.tile(time_ids, (b, 1)), idx
+            {"params": params}, x, t, ctx, pooled, jnp.tile(time_ids, (b, 1)), idx,
+            cross_kv=cross_kv,
         )
+
+    from tweediemix_tpu.models.unet2d import precompute_cross_kv
+
+    def kv_builder(params, ctx_rows, idx):
+        return precompute_cross_kv(ucfg, params, ctx_rows, idx)
 
     def rows(k, n):
         return (
@@ -109,7 +115,9 @@ def main():
         .at[1, :, fcfg.width // 2 :].set(1.0)
     )
 
-    sampler = FusionSampler(table, fcfg, unet_fn, unet_params=uparams)
+    sampler = FusionSampler(
+        table, fcfg, unet_fn, unet_params=uparams, kv_builder=kv_builder
+    )
 
     decode = jax.jit(
         lambda vp, x: postprocess_image(
@@ -126,40 +134,58 @@ def main():
             [decode(vparams, x[s : s + 1]) for s in range(num_seeds)], axis=0
         )
 
-    run_batch(0, 1).block_until_ready()  # compile + warm
+    def sync(x):
+        # a host fetch is the reliable barrier on the tunneled backend
+        import numpy as np
+
+        np.asarray(jax.device_get(x.ravel()[0]))
+        return x
+
+    sync(run_batch(0, 1))  # compile + warm
     t0 = time.perf_counter()
-    img = run_batch(1, 1)
-    img.block_until_ready()
+    sync(run_batch(1, 1))
     dt = time.perf_counter() - t0
 
-    result = {
-        "metric": (
-            "2concept_sdxl_1024_50step_s_per_image"
-            if on_tpu
-            else "2concept_micro_cpu_s_per_image"
-        ),
-        "value": round(dt, 3),
-        "unit": "s",
-        "vs_baseline": round(4.0 / dt, 3),
-    }
-
-    # seeds-batched serving throughput (BASELINE "8 seeds in parallel"
-    # amortized on one chip); TWEEDIEMIX_BENCH_SEEDS=0 skips
+    # Headline = BASELINE.json's tracked metric: "2-concept SDXL
+    # images/min/chip at 50 steps", measured at the serving batch
+    # (BASELINE "8 seeds in parallel" config, amortized on one chip).
+    # The <4 s north-star is a v5e-8 (8-chip) wall-clock target, i.e. a
+    # 32 chip-second budget per image; vs_baseline is measured throughput
+    # over the 60/32 = 1.875 images/min/chip that budget implies
+    # (docs/PERF.md has the full roofline argument).
+    # TWEEDIEMIX_BENCH_SEEDS=0 skips the serving config (latency only).
     import os
 
     n_seeds = int(os.environ.get("TWEEDIEMIX_BENCH_SEEDS", "4"))
+    result = {}
     if n_seeds > 1:
-        run_batch(0, n_seeds).block_until_ready()  # compile + warm
-        t0 = time.perf_counter()
-        img = run_batch(1, n_seeds)
-        img.block_until_ready()
-        dts = time.perf_counter() - t0
-        result[f"seeds{n_seeds}_s_per_image"] = round(dts / n_seeds, 3)
-        result[f"seeds{n_seeds}_images_per_min_chip"] = round(60.0 * n_seeds / dts, 2)
-        # the <4 s north star is a v5e-8 (8-chip) target = 32 chip-seconds
-        # per image; this single-chip bench compares in chip-seconds
-        # (docs/PERF.md has the roofline argument)
-        result["chip_seconds_vs_v5e8_budget"] = round((dts / n_seeds) / 32.0, 3)
+        sync(run_batch(0, n_seeds))  # compile + warm
+        t0s = time.perf_counter()
+        sync(run_batch(1, n_seeds))
+        dts = time.perf_counter() - t0s
+        result = {
+            "metric": (
+                f"2concept_sdxl_1024_50step_images_per_min_chip_seeds{n_seeds}"
+                if on_tpu
+                else f"2concept_micro_cpu_images_per_min_seeds{n_seeds}"
+            ),
+            "value": round(60.0 * n_seeds / dts, 3),
+            "unit": "images/min/chip",
+            "vs_baseline": round((60.0 * n_seeds / dts) / (60.0 / 32.0), 3),
+            f"seeds{n_seeds}_chip_s_per_image": round(dts / n_seeds, 3),
+        }
+    else:
+        result = {
+            "metric": (
+                "2concept_sdxl_1024_50step_s_per_image"
+                if on_tpu
+                else "2concept_micro_cpu_s_per_image"
+            ),
+            "value": round(dt, 3),
+            "unit": "s",
+            "vs_baseline": round(4.0 / dt, 3),
+        }
+    result["single_seed_s_per_image"] = round(dt, 3)
 
     print(json.dumps(result))
     return 0

@@ -289,3 +289,36 @@ def test_stacked_param_tree_matches_init(micro_setup):
     assert set(flat_want) == set(flat_got)
     for p in flat_want:
         assert tuple(flat_want[p].shape) == tuple(jnp.shape(flat_got[p])), p
+
+
+# ---------------------------------------------------------------------------
+# precomputed cross-attention K/V cache
+
+
+@pytest.mark.parametrize("mode", ["cd", "lora", "plain"])
+def test_precompute_cross_kv_matches_inline(mode):
+    """UNet forward with a precomputed cross-KV cache == the inline path.
+
+    The cache path must be numerically identical (same ops, same dtypes) —
+    it only hoists the loop-invariant K/V work out of the sampling scan.
+    """
+    from tweediemix_tpu.models.unet2d import precompute_cross_kv
+
+    kw = {"cd": dict(concept_slots=3), "lora": dict(lora_slots=3), "plain": {}}[mode]
+    cfg = UNetConfig.micro(**kw)
+    model = UNet2DConditionModel(cfg)
+    key = jax.random.PRNGKey(7)
+    b = 3
+    sample, ctx, pooled, time_ids = make_inputs(key, b, cfg)
+    idx = jnp.array([0, 1, 2], jnp.int32) if mode != "plain" else jnp.zeros((b,), jnp.int32)
+    params = model.init(key, sample, jnp.int32(5), ctx, pooled, time_ids, idx)["params"]
+
+    inline = jit_apply(model)(params, sample, jnp.int32(5), ctx, pooled, time_ids, idx)
+    kv = precompute_cross_kv(cfg, params, ctx, idx)
+    cached = jax.jit(
+        lambda p, kv: model.apply(
+            {"params": p}, sample, jnp.int32(5), ctx, pooled, time_ids, idx,
+            cross_kv=kv,
+        )
+    )(params, kv)
+    np.testing.assert_allclose(np.asarray(inline), np.asarray(cached), atol=2e-5, rtol=2e-5)

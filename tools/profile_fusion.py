@@ -78,10 +78,15 @@ def main():
 
     time_ids = jnp.array([[fcfg.height, fcfg.width, 0, 0, fcfg.height, fcfg.width]], jnp.float32)
 
-    def unet_fn(params, x, t, ctx, pooled, idx):
+    def unet_fn(params, x, t, ctx, pooled, idx, cross_kv=None):
         b = x.shape[0]
         return unet.apply({"params": params}, x, t, ctx, pooled,
-                          jnp.tile(time_ids, (b, 1)), idx)
+                          jnp.tile(time_ids, (b, 1)), idx, cross_kv=cross_kv)
+
+    from tweediemix_tpu.models.unet2d import precompute_cross_kv
+
+    def kv_builder(params, ctx_rows, idx):
+        return precompute_cross_kv(ucfg, params, ctx_rows, idx)
 
     def rows(k, n):
         return (0.1 * jax.random.normal(k, (n, ctx_len, ctx_dim)),
@@ -95,7 +100,8 @@ def main():
           .at[0, :, : fcfg.width // 2].set(1.0)
           .at[1, :, fcfg.width // 2 :].set(1.0))
 
-    sampler = FusionSampler(table, fcfg, unet_fn, unet_params=uparams)
+    sampler = FusionSampler(table, fcfg, unet_fn, unet_params=uparams,
+                            kv_builder=kv_builder)
     masks = sampler.compute_masks(None, fg)
     x = sampler.init_latent(key, num_seeds=s)
 

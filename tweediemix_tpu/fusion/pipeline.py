@@ -191,13 +191,24 @@ class TweedieMixPipeline:
         )
         model = self.unet
 
-        def unet_fn(params, x, t, ctx, pooled, idx):
+        def unet_fn(params, x, t, ctx, pooled, idx, cross_kv=None):
             b = x.shape[0]
             return model.apply(
-                {"params": params}, x, t, ctx, pooled, jnp.tile(time_ids, (b, 1)), idx
+                {"params": params}, x, t, ctx, pooled, jnp.tile(time_ids, (b, 1)), idx,
+                cross_kv=cross_kv,
             )
 
         return unet_fn
+
+    def _kv_builder(self):
+        from tweediemix_tpu.models.unet2d import precompute_cross_kv
+
+        cfg = self.unet.config
+
+        def kv_builder(params, ctx_rows, idx):
+            return precompute_cross_kv(cfg, params, ctx_rows, idx)
+
+        return kv_builder
 
     def decode_preview(self, x0):
         vcfg = self.vae.config
@@ -228,6 +239,7 @@ class TweedieMixPipeline:
         (N+1)·S fused) must divide the device count."""
         if self._sampler is None or getattr(self, "_sampler_mesh", 1) != mesh_devices:
             unet_fn = self._unet_fn()
+            kv_builder = self._kv_builder()
             params = self.unet_params
             if mesh_devices > 1:
                 from tweediemix_tpu.parallel.mesh import (
@@ -242,6 +254,7 @@ class TweedieMixPipeline:
                         f"divide --mesh_devices {mesh_devices}")
                 unet_fn = seed_sharded_unet_fn(mesh, unet_fn)
                 params = replicate(mesh, params)
+                kv_builder = None  # sharded fn owns its row layout
             self._sampler = FusionSampler(
                 self.table,
                 self.fusion_config,
@@ -249,6 +262,7 @@ class TweedieMixPipeline:
                 unet_params=params,
                 decode_preview_fn=self.decode_preview,
                 segment_fn=self.segment_fn,
+                kv_builder=kv_builder,
             )
             self._sampler_mesh = mesh_devices
         x = self._sampler.run(

@@ -116,6 +116,7 @@ class FusionSampler:
         unet_params=None,
         decode_preview_fn: Optional[Callable] = None,
         segment_fn: Optional[Callable] = None,
+        kv_builder: Optional[Callable] = None,
     ):
         assert table.n_steps == config.n_timesteps
         assert 1 <= config.t_cond_idx < config.n_timesteps
@@ -125,6 +126,12 @@ class FusionSampler:
         self.unet_params = unet_params
         self.decode_preview_fn = decode_preview_fn
         self.segment_fn = segment_fn
+        # optional (params, ctx_rows, concept_idx) -> cross-attention K/V
+        # cache (models.unet2d.precompute_cross_kv): the text context is
+        # loop-invariant, so each phase builds its row-layout's cache once
+        # outside the scan and the scan body skips the stacked-weight
+        # gather + K/V projections entirely
+        self.kv_builder = kv_builder
         # jit once; re-wrapping per call would defeat the compile cache
         self._jit_prologue = jax.jit(self.prologue)
         self._jit_joint = jax.jit(self.joint_scan, static_argnames=("start", "stop"))
@@ -138,28 +145,49 @@ class FusionSampler:
     # repeated per seed so UNet row k*S+s pairs embed-row k with seed s, and
     # eps group k is eps[k*S:(k+1)*S].
 
-    def _joint_eps(self, params, embeds: TextEmbeds, x, t):
-        s = x.shape[0]
-        xin = jnp.concatenate([x, x], axis=0)
-        eps = self.unet_fn(
-            params, xin, t,
+    def _call_unet(self, params, xin, t, ctx, pooled, idx, kv):
+        if kv is None:
+            return self.unet_fn(params, xin, t, ctx, pooled, idx)
+        return self.unet_fn(params, xin, t, ctx, pooled, idx, cross_kv=kv)
+
+    def _joint_rows(self, embeds: TextEmbeds, s: int):
+        return (
             _rows(embeds.joint_ctx, s, 3),
             _rows(embeds.joint_pooled, s, 2),
             jnp.zeros((2 * s,), jnp.int32),
         )
+
+    def _joint_kv(self, params, embeds: TextEmbeds, s: int):
+        if self.kv_builder is None:
+            return None
+        ctx, _, idx = self._joint_rows(embeds, s)
+        return self.kv_builder(params, ctx, idx)
+
+    def _joint_eps(self, params, embeds: TextEmbeds, x, t, kv=None):
+        s = x.shape[0]
+        xin = jnp.concatenate([x, x], axis=0)
+        ctx, pooled, idx = self._joint_rows(embeds, s)
+        eps = self._call_unet(params, xin, t, ctx, pooled, idx, kv)
         return eps[:s], eps[s:]
 
-    def _prologue_eps(self, params, embeds: TextEmbeds, x, t):
+    def _prologue_rows(self, embeds: TextEmbeds, s: int):
+        n = self.config.num_concepts
+        # joint/single leaves may disagree on the per-seed axis; _rows
+        # normalizes each before concatenation
+        ctx = jnp.concatenate(
+            [_rows(embeds.joint_ctx, s, 3), _rows(embeds.single_ctx, s, 3)], axis=0
+        )
+        pooled = jnp.concatenate(
+            [_rows(embeds.joint_pooled, s, 2), _rows(embeds.single_pooled, s, 2)], axis=0
+        )
+        return ctx, pooled, jnp.zeros(((n + 1) * s,), jnp.int32)
+
+    def _prologue_eps(self, params, embeds: TextEmbeds, x, t, kv=None):
         n = self.config.num_concepts
         s = x.shape[0]
-        ctx = jnp.concatenate([embeds.joint_ctx, embeds.single_ctx], axis=0)
-        pooled = jnp.concatenate([embeds.joint_pooled, embeds.single_pooled], axis=0)
+        ctx, pooled, idx = self._prologue_rows(embeds, s)
         xin = jnp.concatenate([x] * (n + 1), axis=0)
-        return self.unet_fn(
-            params, xin, t,
-            _rows(ctx, s, 3), _rows(pooled, s, 2),
-            jnp.zeros(((n + 1) * s,), jnp.int32),
-        )
+        return self._call_unet(params, xin, t, ctx, pooled, idx, kv)
 
     # -- phases ------------------------------------------------------------
 
@@ -172,9 +200,15 @@ class FusionSampler:
         t = tbl.timesteps[0]
         at, at_next = tbl.alpha(t), tbl.alpha(t - tbl.skip)
 
-        eps = self._prologue_eps(params, embeds, x, t)
-
         s = x.shape[0]
+        kv_pro = None
+        kv_joint = None
+        if self.kv_builder is not None:
+            pctx, _, pidx = self._prologue_rows(embeds, s)
+            kv_pro = self.kv_builder(params, pctx, pidx)
+            kv_joint = self._joint_kv(params, embeds, s)
+
+        eps = self._prologue_eps(params, embeds, x, t, kv=kv_pro)
 
         def resample(carry, _):
             x, eps = carry
@@ -185,11 +219,11 @@ class FusionSampler:
                 eps_s = cfg_combine(eps_u, eps[(2 + cc) * s : (3 + cc) * s], g)
                 x0 = x0 - tbl.tweedie(x, eps_s, at)
             x_next = tbl.renoise(x0, eps_u, at_next)
-            eu2, ec2 = self._joint_eps(params, embeds, x_next, t - tbl.skip)
+            eu2, ec2 = self._joint_eps(params, embeds, x_next, t - tbl.skip, kv=kv_joint)
             eps_next = cfg_combine(eu2, ec2, g)
             x0_next = tbl.tweedie(x_next, eps_next, at_next)
             x_back = tbl.renoise(x0_next, eu2, at)  # back up to t with uncond eps
-            eps_new = self._prologue_eps(params, embeds, x_back, t)
+            eps_new = self._prologue_eps(params, embeds, x_back, t, kv=kv_pro)
             return (x_back, eps_new), None
 
         if cfg.resampling_steps > 0:
@@ -212,10 +246,11 @@ class FusionSampler:
             return x, None
         ts = tbl.timesteps[start:stop]
         is_final = jnp.arange(start, stop) == (cfg.n_timesteps - 1)
+        kv = self._joint_kv(params, embeds, x.shape[0])
 
         def step(x, inp):
             t, final = inp
-            eps_u, eps_c = self._joint_eps(params, embeds, x, t)
+            eps_u, eps_c = self._joint_eps(params, embeds, x, t, kv=kv)
             eps = cfg_combine(eps_u, eps_c, cfg.guidance_scale)
             x0 = tbl.tweedie(x, eps, tbl.alpha(t))
             x_next = tbl.renoise(x0, eps_u, tbl.alpha(t - tbl.skip))
@@ -232,11 +267,12 @@ class FusionSampler:
         cfg = self.config
         tbl = self.table
         t0 = tbl.timesteps[cfg.t_cond_idx]
+        kv = self._joint_kv(params, embeds, x.shape[0])
 
         def body(carry, j):
             x, _ = carry
             tt = t0 - j * cfg.jump_stride
-            eps_u, eps_c = self._joint_eps(params, embeds, x, tt)
+            eps_u, eps_c = self._joint_eps(params, embeds, x, tt, kv=kv)
             eps = cfg_combine(eps_u, eps_c, cfg.guidance_scale)
             x0 = tbl.tweedie(x, eps, tbl.alpha(tt))
             x_next = tbl.renoise(x0, eps_u, tbl.alpha(tt - cfg.jump_stride))
@@ -268,14 +304,18 @@ class FusionSampler:
         else:
             m = masks.transpose(1, 0, 2, 3)[..., None]  # [N, S, h, w, 1]
 
+        ctx_rows = _rows(embeds.concept_ctx, s, 3)
+        pooled_rows = _rows(embeds.concept_pooled, s, 2)
+        kv = (
+            None if self.kv_builder is None
+            else self.kv_builder(params, ctx_rows, concept_idx)
+        )
+
         def step(x, inp):
             t, final = inp
             xin = jnp.concatenate([x] * (n + 1), axis=0)
-            eps = self.unet_fn(
-                params, xin, t,
-                _rows(embeds.concept_ctx, s, 3),
-                _rows(embeds.concept_pooled, s, 2),
-                concept_idx,
+            eps = self._call_unet(
+                params, xin, t, ctx_rows, pooled_rows, concept_idx, kv
             )
             eps_u = eps[:s]
             at = tbl.alpha(t)
