@@ -351,3 +351,103 @@ def test_class_image_generation(tmp_path):
     files = sorted(out.glob("*.png"))
     assert len(files) == 3
     assert Image.open(files[0]).size == (32, 32)
+
+
+# ---------------------------------------------------------------------------
+# 8-bit Adam (bitsandbytes AdamW8bit equivalent)
+
+
+def test_quantize_blockwise_roundtrip():
+    from tweediemix_tpu.training.adam8bit import (
+        dequantize_blockwise, quantize_blockwise)
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (13, 77)) * 3.0
+    q, scale = quantize_blockwise(x)
+    assert q.dtype == jnp.int8
+    y = dequantize_blockwise(q, scale, x.shape)
+    # linear absmax code: error bounded by scale/2 per block
+    err = jnp.abs(y - x)
+    bound = jnp.max(jnp.abs(x)) / 127.0
+    assert float(jnp.max(err)) <= float(bound) / 2 + 1e-7
+    # zeros stay exactly zero
+    qz, sz = quantize_blockwise(jnp.zeros((100,)))
+    assert float(jnp.abs(dequantize_blockwise(qz, sz, (100,))).max()) == 0.0
+
+
+def test_adam8bit_matches_fp32_adam():
+    """int8-state AdamW tracks fp32 AdamW on a small least-squares problem."""
+    import optax
+
+    from tweediemix_tpu.training.adam8bit import adamw8bit
+
+    key = jax.random.PRNGKey(1)
+    d = 256  # realistic tensor size: blockwise int8 state targets big tensors
+    a = jax.random.normal(key, (512, d)) / jnp.sqrt(d)
+    target = jax.random.normal(jax.random.fold_in(key, 1), (512,))
+
+    def loss(w):
+        return jnp.mean((a @ w - target) ** 2)
+
+    results = {}
+    for name, opt in [
+        ("fp32", optax.adamw(3e-2)),
+        ("int8", adamw8bit(3e-2)),
+    ]:
+        w = jnp.zeros((d,))
+        state = opt.init(w)
+
+        @jax.jit
+        def step(w, state, opt=opt):
+            g = jax.grad(loss)(w)
+            upd, state = opt.update(g, state, w)
+            return optax.apply_updates(w, upd), state
+
+        for _ in range(150):
+            w, state = step(w, state)
+        results[name] = float(loss(w))
+
+    init = float(loss(jnp.zeros((d,))))
+    # (the overdetermined system has an irreducible residual ~0.47*init)
+    assert results["fp32"] < 0.6 * init
+    # int8 state converges like fp32 (quantization noise, not divergence)
+    assert results["int8"] < results["fp32"] + 0.02 * init
+
+
+def test_train_step_with_8bit_adam():
+    """One CD train step with use_8bit_adam: runs, finite loss, int8 state."""
+    from tweediemix_tpu.models.unet2d import UNet2DConditionModel, UNetConfig
+    from tweediemix_tpu.schedulers.ddim import training_alphas_cumprod
+    from tweediemix_tpu.training.custom_diffusion import (
+        TrainConfig,
+        init_state,
+        make_optimizer,
+        make_train_step,
+        trainable_mask,
+    )
+
+    key = jax.random.PRNGKey(0)
+    ucfg = UNetConfig.micro()
+    model = UNet2DConditionModel(ucfg)
+    h = 8
+    batch = {
+        "latents": jax.random.normal(key, (2, h, h, 4)),
+        "mask": jnp.ones((2, h, h, 1)),
+        "ctx": 0.1 * jax.random.normal(key, (2, 16, ucfg.cross_attention_dim)),
+        "pooled": 0.1 * jax.random.normal(key, (2, ucfg.pooled_projection_dim)),
+        "time_ids": jnp.tile(jnp.array([[64, 64, 0, 0, 64, 64]], jnp.float32), (2, 1)),
+        "is_prior": jnp.array([0.0, 1.0]),
+    }
+    params = jax.jit(model.init)(
+        key, batch["latents"], jnp.int32(1), batch["ctx"], batch["pooled"],
+        batch["time_ids"],
+    )["params"]
+    cfg = TrainConfig(use_8bit_adam=True, with_prior_preservation=True)
+    mask = trainable_mask(params, cfg.freeze_model)
+    opt = make_optimizer(cfg, mask)
+    state = init_state(params, opt)
+    step = jax.jit(make_train_step(model, cfg, training_alphas_cumprod(), opt))
+    state2, metrics = step(state, batch, jax.random.PRNGKey(0))
+    assert bool(jnp.isfinite(metrics["loss"]))
+    # the persisted moment state must be int8
+    leaves = jax.tree.leaves(state2.opt_state)
+    assert any(getattr(l, "dtype", None) == jnp.int8 for l in leaves)

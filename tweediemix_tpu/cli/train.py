@@ -47,6 +47,9 @@ def build_parser():
     p.add_argument("--scale_lr", action="store_true")
     p.add_argument("--max_grad_norm", type=float, default=1.0)
     p.add_argument("--adam_weight_decay", type=float, default=1e-2)
+    p.add_argument("--use_8bit_adam", action="store_true",
+                   help="int8 blockwise Adam moment state (the reference's "
+                        "bitsandbytes AdamW8bit)")
     p.add_argument("--freeze_model", type=str, default="crossattn_kv",
                    choices=["crossattn_kv", "crossattn", "lora"])
     p.add_argument("--lora_rank", type=int, default=4)
@@ -279,6 +282,7 @@ def main(argv=None) -> int:
         prior_loss_weight=opt.prior_loss_weight,
         with_prior_preservation=opt.with_prior_preservation,
         freeze_model=opt.freeze_model,
+        use_8bit_adam=opt.use_8bit_adam,
     )
     params = {"unet": unet_params, "te1": te1_params, "te2": te2_params}
     mask = full_trainable_mask(params, opt.freeze_model, bool(modifier_tokens))

@@ -47,6 +47,9 @@ class TrainConfig:
     with_prior_preservation: bool = True
     freeze_model: str = "crossattn_kv"  # crossattn_kv | crossattn | lora
     num_train_timesteps: int = 1000
+    # int8 blockwise moment state (the reference's bitsandbytes AdamW8bit,
+    # --use_8bit_adam in singleconcept_train.sh:20)
+    use_8bit_adam: bool = False
 
 
 class TrainState(flax.struct.PyTreeNode):
@@ -89,16 +92,25 @@ def make_optimizer(cfg: TrainConfig, mask):
     Note optax.masked passes unmasked grads through *unchanged*, which would
     apply raw gradients to frozen params — multi_transform with set_to_zero
     is the correct freeze."""
-    inner = optax.chain(
-        optax.clip_by_global_norm(cfg.max_grad_norm),
-        optax.adamw(
+    if cfg.use_8bit_adam:
+        from tweediemix_tpu.training.adam8bit import adamw8bit
+
+        adam = adamw8bit(
             learning_rate=cfg.learning_rate,
             b1=cfg.adam_beta1,
             b2=cfg.adam_beta2,
             eps=cfg.adam_epsilon,
             weight_decay=cfg.adam_weight_decay,
-        ),
-    )
+        )
+    else:
+        adam = optax.adamw(
+            learning_rate=cfg.learning_rate,
+            b1=cfg.adam_beta1,
+            b2=cfg.adam_beta2,
+            eps=cfg.adam_epsilon,
+            weight_decay=cfg.adam_weight_decay,
+        )
+    inner = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm), adam)
     labels = jax.tree.map(lambda on: "train" if on else "freeze", mask)
     return optax.multi_transform(
         {"train": inner, "freeze": optax.set_to_zero()}, labels
