@@ -409,3 +409,20 @@ def test_convert_sam_roundtrip_tiny():
     # converted params must actually run
     masks, iou = model.apply({"params": traverse_util.unflatten_dict(got)}, img, boxes)
     assert bool(jnp.all(jnp.isfinite(masks)))
+
+
+def test_generate_labelme_json():
+    """LabelMe export (lang_sam/utils.py parity): polygon shapes from
+    external contours, speck-sized components dropped."""
+    from tweediemix_tpu.segmentation.viz import generate_labelme_json
+
+    m = np.zeros((2, 64, 64), np.float32)
+    m[0, 10:40, 10:40] = 1.0   # 900 px — kept
+    m[1, 5:8, 5:8] = 1.0       # 9 px — dropped (MIN_AREA)
+    d = generate_labelme_json(m, ["a cat", "a dog"], (64, 64), "img.jpg")
+    assert d["imageHeight"] == 64 and d["imagePath"] == "img.jpg"
+    labels = [s["label"] for s in d["shapes"]]
+    assert labels == ["a cat"]
+    pts = np.array(d["shapes"][0]["points"])
+    assert pts.min() >= 9 and pts.max() <= 40
+    assert d["shapes"][0]["shape_type"] == "polygon"

@@ -49,3 +49,48 @@ def draw_image(image: np.ndarray, masks, boxes=None, labels=None,
             img[y0:y1 + 1, x0:x0 + box_px] = color
             img[y0:y1 + 1, max(0, x1 - box_px + 1):x1 + 1] = color
     return np.clip(img, 0.0, 1.0)
+
+
+MIN_AREA = 100  # drop speck contours (utils.py:8)
+
+
+def mask_contours(mask: np.ndarray, min_area: float = MIN_AREA):
+    """Binary mask [H, W] → list of [P, 2] float32 contour point arrays
+    (``utils.py:get_contours``; external contours, area-filtered)."""
+    import cv2
+
+    m = np.squeeze(np.asarray(mask))
+    assert m.ndim == 2, m.shape
+    m = (m > 0.5).astype(np.uint8) * 255
+    contours, _ = cv2.findContours(m, cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_SIMPLE)
+    return [
+        c.reshape(len(c), -1).astype(np.float32)
+        for c in contours
+        if cv2.contourArea(c) > min_area
+    ]
+
+
+def generate_labelme_json(binary_masks, labels, image_size, image_path=None):
+    """Binary masks [N, H, W] + labels → LabelMe-format dict
+    (``text_segment/lang_sam/utils.py:generate_labelme_json``: same schema,
+    polygon shapes from external contours)."""
+    binary_masks = np.asarray(binary_masks)
+    json_dict = {
+        "version": "4.5.6",
+        "imageHeight": int(image_size[0]),
+        "imageWidth": int(image_size[1]),
+        "imagePath": image_path,
+        "flags": {},
+        "shapes": [],
+        "imageData": None,
+    }
+    for mask, label in zip(binary_masks, labels):
+        for contour in mask_contours(mask):
+            json_dict["shapes"].append({
+                "label": label,
+                "line_color": None,
+                "fill_color": None,
+                "points": [p.tolist() for p in contour],
+                "shape_type": "polygon",
+            })
+    return json_dict
