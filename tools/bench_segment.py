@@ -1,0 +1,57 @@
+"""Benchmark the in-process text-guided segmentation stage on one chip.
+
+The reference pins GroundingDINO-SwinB + SAM-ViT-H to a *second GPU* and
+round-trips mask JPGs through the filesystem mid-trajectory
+(fusion_sampling.py:456-469). Here the whole detect→box→segment pass runs
+in-process on the same chip; this tool measures what it costs per concept
+prompt at real model scale (SAM ViT-H 1024px encoder + OWL-ViT base
+detector, random weights — FLOPs identical to a real run).
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/bench_segment.py
+"""
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def sync(x):
+    return np.asarray(jax.device_get(jax.tree.leaves(x)[0].ravel()[0]))
+
+
+def main():
+    from tweediemix_tpu.segmentation.detector import DetectorConfig
+    from tweediemix_tpu.segmentation.lang_sam import LangSAM
+    from tweediemix_tpu.segmentation.sam import SAMConfig
+
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        sam_cfg = SAMConfig.vit_h(dtype=jnp.bfloat16)
+        det_cfg = DetectorConfig.owlvit_base_patch32()
+    else:
+        sam_cfg, det_cfg = SAMConfig.tiny(), DetectorConfig.tiny()
+    print(f"backend={jax.default_backend()} sam={sam_cfg.encoder_dim}x{sam_cfg.encoder_layers}"
+          f"@{sam_cfg.image_size} det@{det_cfg.vision.image_size}")
+
+    ls = LangSAM.random_init(jax.random.PRNGKey(0), sam_cfg=sam_cfg, det_cfg=det_cfg)
+    img = jax.random.uniform(jax.random.PRNGKey(1), (1024, 1024, 3))
+
+    # one full predict (detect + SAM encode + per-box decode), per concept
+    out = ls.predict(img, "a cat")
+    sync(out[0])  # compile + warm
+    t0 = time.perf_counter()
+    n = 3
+    for i in range(n):
+        out = ls.predict(img, "a cat")
+    sync(out[0])
+    dt = (time.perf_counter() - t0) / n
+    print(f"segment stage: {dt*1e3:.1f} ms per concept prompt")
+    print(f"  (reference runs 2 extra models on a dedicated 2nd GPU; here the"
+          f" whole boundary-step seg pass for 2 fg concepts costs ~{2*dt:.2f}s"
+          f" once per image)")
+
+
+if __name__ == "__main__":
+    main()
