@@ -426,3 +426,28 @@ def test_generate_labelme_json():
     pts = np.array(d["shapes"][0]["points"])
     assert pts.min() >= 9 and pts.max() <= 40
     assert d["shapes"][0]["shape_type"] == "polygon"
+
+
+def test_window_partition_pads_non_divisible():
+    """ViT-H has grid 64 with window 14: partition must zero-pad like
+    upstream segment_anything and unpartition must slice back."""
+    from tweediemix_tpu.segmentation.sam import window_partition, window_unpartition
+
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 9, 9, 4), jnp.float32)
+    wins = window_partition(x, 4)  # pads 9 -> 12, 3x3 windows
+    assert wins.shape == (2 * 9, 4, 4, 4)
+    back = window_unpartition(wins, 4, (9, 9))
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
+def test_sam_encoder_non_divisible_window():
+    """SAM encode at a grid not divisible by the window runs and is finite."""
+    from tweediemix_tpu.segmentation.sam import SAM, SAMConfig
+
+    cfg = SAMConfig.tiny(image_size=72, patch_size=8, window_size=5)  # grid 9
+    sam = SAM(cfg)
+    img = jnp.zeros((1, 72, 72, 3))
+    boxes = jnp.zeros((2, 4)).at[0].set(jnp.array([0.1, 0.1, 0.6, 0.6]))
+    params = jax.jit(sam.init)(jax.random.PRNGKey(0), img, boxes)["params"]
+    logits, iou = jax.jit(sam.apply)({"params": params}, img, boxes)
+    assert bool(jnp.isfinite(logits).all()) and bool(jnp.isfinite(iou).all())

@@ -227,3 +227,45 @@ def test_run_video_cli_end_to_end(tmp_path):
     assert rc == 0
     gif = Image.open(out)
     assert gif.is_animated and gif.n_frames == 4
+
+
+def test_batched_clips_match_single_runs():
+    """Clip rows of one batched generate() == independent runs (the
+    "seeds in parallel" serving layout applied to the video stage)."""
+    from tweediemix_tpu.models.unet3d import UNet3DConditionModel, UNet3DConfig
+    from tweediemix_tpu.models.vae import AutoencoderKL, VAEConfig
+    from tweediemix_tpu.video.pipeline import I2VPipeline
+
+    vcfg = VideoConfig(num_frames=2, height=32, width=32, n_timesteps=3,
+                       latent_factor=2)
+    ucfg = UNet3DConfig.tiny()
+    unet = UNet3DConditionModel(ucfg)
+    vae = AutoencoderKL(VAEConfig.tiny())
+    key = jax.random.PRNGKey(0)
+    h, w = vcfg.latent_hw
+    uparams = jax.jit(unet.init)(
+        key, jnp.zeros((2, vcfg.num_frames, h, w, 4)), jnp.int32(1),
+        jnp.zeros((2, 8, ucfg.cross_attention_dim)),
+        jnp.zeros((2, vcfg.num_frames, h, w, 4)),
+        jnp.zeros((2, 1, ucfg.cross_attention_dim)),
+        jnp.full((2,), 8.0), jnp.float32(1), jnp.float32(1), 0.7,
+    )["params"]
+    vparams = jax.jit(vae.init)(
+        jax.random.fold_in(key, 1), jnp.zeros((1, 32, 32, 3)),
+        jax.random.PRNGKey(1),
+    )["params"]
+    pipe = I2VPipeline(vcfg, unet, uparams, vae, vparams)
+
+    ctx = 0.1 * jax.random.normal(key, (2, 8, ucfg.cross_attention_dim))
+    uctx = jnp.zeros((1, 8, ucfg.cross_attention_dim))
+    imgs = jax.random.uniform(jax.random.fold_in(key, 2), (2, 32, 32, 3)) * 2 - 1
+    emb = 0.1 * jax.random.normal(jax.random.fold_in(key, 3),
+                                  (2, 1, ucfg.cross_attention_dim))
+
+    batched = pipe.generate(ctx, uctx, imgs, emb, seed=5)
+    assert batched.shape[0] == 2
+    # clip 0 of the batch reproduces the single-clip path bit-for-bit
+    single0 = pipe.generate(ctx[:1], uctx, imgs[:1], emb[:1], seed=5)
+    np.testing.assert_allclose(
+        np.asarray(batched[0]), np.asarray(single0), atol=2e-5, rtol=1e-5
+    )

@@ -65,11 +65,17 @@ def main():
     emb = 0.1 * jax.random.normal(jax.random.fold_in(key, 2),
                                   (1, 1, ucfg.cross_attention_dim))
 
+    import numpy as np
+
+    def sync(x):
+        # host fetch: the reliable barrier on the tunneled backend
+        np.asarray(jax.device_get(x.ravel()[0]))
+
     video = pipe.generate(ctx, uctx, img, emb, seed=0)  # compile + warm
-    jax.block_until_ready(video)
+    sync(video)
     t0 = time.perf_counter()
     video = pipe.generate(ctx, uctx, img, emb, seed=1)
-    jax.block_until_ready(video)
+    sync(video)
     dt = time.perf_counter() - t0
 
     print(json.dumps({

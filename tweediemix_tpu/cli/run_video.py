@@ -32,6 +32,10 @@ def build_parser():
     p.add_argument("--interp_ratio", type=float, default=0.7)
     p.add_argument("--model_dir", type=str, default=None)
     p.add_argument("--model_preset", type=str, default=None, choices=[None, "tiny"])
+    p.add_argument("--num_seeds", type=int, default=1,
+                   help="clips sampled in parallel from the same conditioning "
+                        "image (batched serving; seed b folds in its index). "
+                        "Outputs <output>_b.gif per extra clip.")
     return p
 
 
@@ -142,10 +146,19 @@ def main(argv=None) -> int:
     clip_in = (clip_in - jnp.asarray(CLIP_IMAGE_MEAN)) / jnp.asarray(CLIP_IMAGE_STD)
     img_emb = vision.apply({"params": visparams}, clip_in)[:, None, :]
 
-    video = pipe.generate(ctx_c, ctx_u, arr, img_emb, seed=opt.seed)
+    b = opt.num_seeds
+    arr_b = jnp.repeat(arr, b, axis=0) if b > 1 else arr
+    video = pipe.generate(ctx_c, ctx_u, arr_b, img_emb, seed=opt.seed)
     os.makedirs(os.path.dirname(os.path.abspath(opt.output)), exist_ok=True)
-    export_gif(video, opt.output, fps=opt.fps)
-    print(f"saved {opt.output} ({video.shape[0]} frames)")
+    if b == 1:
+        export_gif(video, opt.output, fps=opt.fps)
+        print(f"saved {opt.output} ({video.shape[0]} frames)")
+    else:
+        stem, ext = os.path.splitext(opt.output)
+        for bi in range(b):
+            path = opt.output if bi == 0 else f"{stem}_{bi}{ext}"
+            export_gif(video[bi], path, fps=opt.fps)
+            print(f"saved {path} ({video.shape[1]} frames)")
     return 0
 
 

@@ -69,17 +69,26 @@ class SAMConfig:
 
 
 def window_partition(x, win: int):
-    """[B, H, W, C] → [B*nw, win, win, C] (H, W divisible by win)."""
+    """[B, H, W, C] → [B*nw, win, win, C], zero-padding H/W up to multiples
+    of ``win`` exactly like upstream segment_anything (padded tokens simply
+    participate in the window attention and are sliced off afterwards —
+    ViT-H has grid 64 with window 14)."""
     b, h, w, c = x.shape
-    x = x.reshape(b, h // win, win, w // win, win, c)
+    ph, pw = (-h) % win, (-w) % win
+    if ph or pw:
+        x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
+    hp, wp = h + ph, w + pw
+    x = x.reshape(b, hp // win, win, wp // win, win, c)
     return x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, win, win, c)
 
 
 def window_unpartition(x, win: int, hw: Tuple[int, int]):
     h, w = hw
-    b = x.shape[0] // (h // win * w // win)
-    x = x.reshape(b, h // win, w // win, win, win, -1)
-    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h, w, -1)
+    hp, wp = h + (-h) % win, w + (-w) % win
+    b = x.shape[0] // (hp // win * wp // win)
+    x = x.reshape(b, hp // win, wp // win, win, win, -1)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp, wp, -1)
+    return x[:, :h, :w]
 
 
 def _rel_pos_bias(q, rel_h, rel_w, gh: int, gw: int, heads: int):

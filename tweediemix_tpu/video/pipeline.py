@@ -129,12 +129,13 @@ class I2VPipeline:
 
         def step(x, inp):
             t, inj = inp
+            b = x.shape[0]
             xin = jnp.concatenate([x, x], axis=0)
             eps = self.unet.apply(
                 {"params": unet_params}, xin, t, ctx2, image_latents2, image_emb2,
                 fps2, inj, inj, cfg.interp_ratio,
             )
-            e = cfg_combine(eps[0:1], eps[1:2], cfg.guidance_scale)
+            e = cfg_combine(eps[:b], eps[b:], cfg.guidance_scale)
             at, at_next = tbl.alpha(t), tbl.alpha(t - tbl.skip)
             return video_rotation_step(x, e, at, at_next), None
 
@@ -143,33 +144,61 @@ class I2VPipeline:
 
     def generate(
         self,
-        text_ctx: jnp.ndarray,  # [1, S, D] prompt context
-        uncond_ctx: jnp.ndarray,  # [1, S, D] negative context
-        image: jnp.ndarray,  # [1, H, W, 3] in [-1, 1]
-        image_embedding: jnp.ndarray,  # [1, 1, D] CLIP image embed
+        text_ctx: jnp.ndarray,  # [1 or B, S, D] prompt context
+        uncond_ctx: jnp.ndarray,  # [1 or B, S, D] negative context
+        image: jnp.ndarray,  # [B, H, W, 3] in [-1, 1]
+        image_embedding: jnp.ndarray,  # [1 or B, 1, D] CLIP image embed
         seed: int = 0,
     ) -> jnp.ndarray:
-        """Returns decoded video [F, H, W, 3] in [0, 1]."""
+        """Returns decoded video [F, H, W, 3] (B=1) or [B, F, H, W, 3].
+
+        B > 1 batches independent clips through every forward (the
+        BASELINE "seeds in parallel" serving layout applied to the video
+        stage): row layout [uncond×B, cond×B], per-clip noise from
+        ``fold_in(key, clip)`` so clip b is reproducible at any batch size.
+        Shared ([1, ...]) prompt/image-embed rows broadcast across clips;
+        pass [B, ...] rows for per-clip prompts (multi-prompt serving).
+        """
         cfg = self.config
+        b = image.shape[0]
         key = jax.random.PRNGKey(seed)
         h, w = cfg.latent_hw
-        x = jax.random.normal(key, (1, cfg.num_frames, h, w, 4), jnp.float32)
+        # clip 0 keeps the single-clip noise stream (back-compat with the
+        # B=1 path); later clips fold in their index
+        x = jnp.stack([
+            jax.random.normal(
+                key if bi == 0 else jax.random.fold_in(key, 1000 + bi),
+                (cfg.num_frames, h, w, 4), jnp.float32,
+            )
+            for bi in range(b)
+        ])
+
+        def rows(a):
+            return a if a.shape[0] == b else jnp.repeat(a, b, axis=0)
 
         frame0 = self.encode_first_frame(image, jax.random.fold_in(key, 1))
         img_lat = self.prepare_image_latents(frame0)
         img_lat2 = jnp.concatenate([img_lat, img_lat], axis=0)
-        ctx2 = jnp.concatenate([uncond_ctx, text_ctx], axis=0)
+        ctx2 = jnp.concatenate([rows(uncond_ctx), rows(text_ctx)], axis=0)
         # uncond row gets a zero image embedding (reference :326-330)
-        img_emb2 = jnp.concatenate([jnp.zeros_like(image_embedding), image_embedding], axis=0)
-        fps2 = jnp.full((2,), cfg.fps, jnp.float32)
+        emb = rows(image_embedding)
+        img_emb2 = jnp.concatenate([jnp.zeros_like(emb), emb], axis=0)
+        fps2 = jnp.full((2 * b,), cfg.fps, jnp.float32)
 
         x = self._jit_loop(self.unet_params, x, ctx2, img_lat2, img_emb2, fps2)
-        return self.decode_video(x)
+        out = self.decode_video(x)
+        return out[0] if b == 1 else out
+
+    def _loop_eps_split(self, eps, b):
+        return eps[:b], eps[b:]
 
     def decode_video(self, latents: jnp.ndarray) -> jnp.ndarray:
-        """[1, F, h, w, 4] → [F, H, W, 3], chunked per frame (reference
+        """[B, F, h, w, 4] → [B, F, H, W, 3], chunked per frame (reference
         decode_chunk_size=1, run_video.py:39)."""
-        z = unscale_latents(latents[0], self.vae.config)
+        bsz, f = latents.shape[:2]
+        z = unscale_latents(latents, self.vae.config).reshape(
+            bsz * f, *latents.shape[2:]
+        )
 
         def decode_one(frame):
             img = self.vae.apply(
@@ -177,7 +206,8 @@ class I2VPipeline:
             )
             return postprocess_image(img)[0]
 
-        return jax.lax.map(decode_one, z)
+        out = jax.lax.map(decode_one, z)
+        return out.reshape(bsz, f, *out.shape[1:])
 
 
 def export_gif(video: jnp.ndarray, path: str, fps: int = 8):
