@@ -189,9 +189,6 @@ class I2VPipeline:
         out = self.decode_video(x)
         return out[0] if b == 1 else out
 
-    def _loop_eps_split(self, eps, b):
-        return eps[:b], eps[b:]
-
     def decode_video(self, latents: jnp.ndarray) -> jnp.ndarray:
         """[B, F, h, w, 4] → [B, F, H, W, 3], chunked per frame (reference
         decode_chunk_size=1, run_video.py:39)."""
