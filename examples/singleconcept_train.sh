@@ -20,6 +20,7 @@ python -m tweediemix_tpu.cli.train \
   --num_class_images 200 \
   --resolution 512 --train_batch_size 1 --gradient_accumulation_steps 4 \
   --learning_rate 1e-5 --scale_lr --hflip \
+  --use_8bit_adam \
   --max_train_steps 251 --save_steps 250 \
   --modifier_token "<cat1>" \
   --freeze_model crossattn_kv \

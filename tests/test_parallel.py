@@ -71,3 +71,29 @@ def test_dryrun_multichip_entrypoint():
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(8)
+
+
+@requires_8
+def test_row_padded_single_seed_latency_sharding():
+    """num_seeds=1 over a 4-device slice: the joint phase's 2 rows and the
+    fused phase's N+1 rows get padded to the axis size inside
+    seed_sharded_unet_fn — the single-image latency layout of the <4 s
+    v5e-8 north star. Results must match the unsharded run exactly."""
+    from tweediemix_tpu.fusion.sampler import FusionConfig, FusionSampler
+    from tweediemix_tpu.schedulers.ddim import DDIMTable
+
+    cfg = FusionConfig(n_timesteps=8, num_concepts=N, height=H * 8, width=W * 8,
+                       resampling_steps=1, jumping_steps=1)
+    table = DDIMTable.create(n_steps=cfg.n_timesteps)
+    key = jax.random.PRNGKey(3)
+    embeds = make_embeds(jax.random.fold_in(key, 1))
+    fg = jnp.zeros((N - 1, H * 8, W * 8)).at[0, :, : W * 4].set(1.0).at[1, :, W * 4 :].set(1.0)
+
+    plain = FusionSampler(table, cfg, mock_unet)
+    want = plain.run(embeds, key, fg_masks=fg, num_seeds=1)
+
+    mesh = make_mesh({"dp": 4}, devices=jax.devices()[:4])
+    sharded = FusionSampler(table, cfg, seed_sharded_unet_fn(mesh, mock_unet))
+    with mesh:
+        got = sharded.run(embeds, key, fg_masks=fg, num_seeds=1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)

@@ -247,11 +247,8 @@ class TweedieMixPipeline:
 
                 mesh = make_mesh({"dp": mesh_devices},
                                  devices=jax.devices()[:mesh_devices])
-                n1 = self.fusion_config.num_concepts + 1
-                if (2 * num_seeds) % mesh_devices or (n1 * num_seeds) % mesh_devices:
-                    raise ValueError(
-                        f"row counts 2*{num_seeds} and {n1}*{num_seeds} must "
-                        f"divide --mesh_devices {mesh_devices}")
+                # non-divisible row counts (e.g. the 2-row joint phase on 4
+                # chips) are padded inside the wrapper
                 unet_fn = seed_sharded_unet_fn(mesh, unet_fn)
                 params = replicate(mesh, params)
                 kv_builder = None  # sharded fn owns its row layout

@@ -76,20 +76,31 @@ def concept_sharded_unet_fn(mesh: Mesh, unet_fn, axis: str = "dp"):
 
 def seed_sharded_unet_fn(mesh: Mesh, unet_fn, axis: str = "dp"):
     """Wrap a sampler unet_fn so every forward's batch rows shard across
-    ``axis`` — the "N seeds in parallel on v5e-8" serving layout. Rows are
-    embed-major/seed-minor ([k*S+s]), so any contiguous split is valid; the
-    caller picks num_seeds divisible by the axis size so every phase's row
-    count (2S joint, (N+1)S fused) divides evenly.
+    ``axis`` — both the "N seeds in parallel" serving layout AND the
+    single-image latency layout (uncond + N concept rows spread over the
+    mesh, the BASELINE <4 s v5e-8 config). Rows are embed-major/seed-minor
+    ([k*S+s]), so any contiguous split is valid; row counts that don't
+    divide the axis (e.g. the 2-row joint phase on 4 chips) are padded by
+    repeating the last row and sliced back after — padded rows cost idle
+    compute on the extra chips, never correctness.
     """
     rows = NamedSharding(mesh, P(axis))
+    n_axis = int(mesh.shape[axis])
 
     def wrapped(params, x, t, ctx, pooled, concept_idx):
+        b = x.shape[0]
+        bp = -(-b // n_axis) * n_axis
+        x, _ = pad_rows_to(x, bp)
+        ctx, _ = pad_rows_to(ctx, bp)
+        pooled, _ = pad_rows_to(pooled, bp)
+        concept_idx, _ = pad_rows_to(concept_idx, bp)
         x = jax.lax.with_sharding_constraint(x, rows)
         ctx = jax.lax.with_sharding_constraint(ctx, rows)
         pooled = jax.lax.with_sharding_constraint(pooled, rows)
         concept_idx = jax.lax.with_sharding_constraint(concept_idx, rows)
         eps = unet_fn(params, x, t, ctx, pooled, concept_idx)
-        return jax.lax.with_sharding_constraint(eps, rows)
+        eps = jax.lax.with_sharding_constraint(eps, rows)
+        return eps[:b]
 
     return wrapped
 
