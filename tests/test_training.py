@@ -451,3 +451,19 @@ def test_train_step_with_8bit_adam():
     # the persisted moment state must be int8
     leaves = jax.tree.leaves(state2.opt_state)
     assert any(getattr(l, "dtype", None) == jnp.int8 for l in leaves)
+
+
+def test_full_optimizer_8bit_state():
+    """The CLI's optimizer path (make_full_optimizer) honors use_8bit_adam."""
+    from tweediemix_tpu.training.custom_diffusion import TrainConfig
+    from tweediemix_tpu.training.trainer import make_full_optimizer
+
+    cfg = TrainConfig(use_8bit_adam=True)
+    opt = make_full_optimizer(cfg, mask=None)
+    params = {"w": jnp.zeros((300,))}
+    state = opt.init(params)
+    leaves = jax.tree.leaves(state)
+    assert any(getattr(l, "dtype", None) == jnp.int8 for l in leaves)
+    g = {"w": jnp.ones((300,)) * 0.1}
+    upd, state2 = opt.update(g, state, params)
+    assert bool(jnp.isfinite(upd["w"]).all())

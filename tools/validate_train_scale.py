@@ -21,6 +21,8 @@ def main():
     ap.add_argument("--bf16-master", action="store_true",
                     help="keep trainable leaves bf16 (default: fp32 masters, "
                          "the cli/train.py AMP configuration)")
+    ap.add_argument("--use-8bit-adam", action="store_true",
+                    help="int8 blockwise Adam moment state")
     ap.add_argument("--batch", type=int, default=2)
     ap.add_argument("--res", type=int, default=512)
     args = ap.parse_args()
@@ -82,7 +84,8 @@ def main():
     jax.block_until_ready(params)
     hbm("params created")
 
-    tcfg = TrainConfig(learning_rate=1e-5, with_prior_preservation=True)
+    tcfg = TrainConfig(learning_rate=1e-5, with_prior_preservation=True,
+                       use_8bit_adam=args.use_8bit_adam)
     mask = full_trainable_mask(params, "crossattn_kv", True)
     if not args.bf16_master:
         from tweediemix_tpu.training.trainer import promote_trainable_to_fp32

@@ -90,16 +90,25 @@ def make_full_optimizer(cfg: TrainConfig, mask, accumulation_steps: int = 1):
     ``trainable_subset(params, mask)``). Frozen leaves never see the
     optimizer — no moments, no accumulator slots, no decay."""
     del mask  # selection happens via trainable_subset
-    opt = optax.chain(
-        optax.clip_by_global_norm(cfg.max_grad_norm),
-        optax.adamw(
+    if cfg.use_8bit_adam:
+        from tweediemix_tpu.training.adam8bit import adamw8bit
+
+        adam = adamw8bit(
             learning_rate=cfg.learning_rate,
             b1=cfg.adam_beta1,
             b2=cfg.adam_beta2,
             eps=cfg.adam_epsilon,
             weight_decay=cfg.adam_weight_decay,
-        ),
-    )
+        )
+    else:
+        adam = optax.adamw(
+            learning_rate=cfg.learning_rate,
+            b1=cfg.adam_beta1,
+            b2=cfg.adam_beta2,
+            eps=cfg.adam_epsilon,
+            weight_decay=cfg.adam_weight_decay,
+        )
+    opt = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm), adam)
     if accumulation_steps > 1:
         opt = optax.MultiSteps(opt, every_k_schedule=accumulation_steps)
     return opt
