@@ -57,9 +57,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="random-init preset for smoke runs (no weights needed)")
     p.add_argument("--mask_dir", type=str, default=None,
                    help="directory with precomputed '<seg_concept>.jpg' masks")
-    p.add_argument("--seg_preset", type=str, default="heuristic",
-                   choices=["heuristic", "sam-random", "sam"],
-                   help="in-process segmentation stage when no --mask_dir")
+    p.add_argument("--seg_preset", type=str, default=None,
+                   choices=[None, "heuristic", "sam-random", "sam"],
+                   help="in-process segmentation stage when no --mask_dir "
+                        "(default: 'sam' when --sam_checkpoint and "
+                        "--detector_dir are given, else 'heuristic')")
     p.add_argument("--sam_checkpoint", type=str, default=None,
                    help="segment-anything ViT-H checkpoint (.pth/safetensors) "
                         "for --seg_preset sam")
@@ -197,6 +199,11 @@ def main(argv=None) -> int:
     )
 
     segment_fn = None
+    if opt.seg_preset is None:
+        # real weights supplied → real segmentation, like the reference
+        opt.seg_preset = (
+            "sam" if (opt.sam_checkpoint and opt.detector_dir) else "heuristic"
+        )
     if opt.mask_dir is None and opt.seg_concepts:
         # fail fast: without masks the sampler would die mid-trajectory
         from tweediemix_tpu.segmentation import make_segment_fn
