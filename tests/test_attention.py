@@ -81,7 +81,7 @@ def test_flash_custom_vjp_grads_match_xla():
     # the custom_vjp backward is exactly the XLA vjp; verify the rule wiring
     gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
     _, vjp_fn = jax.vjp(lambda a, b, c: attn_mod._xla_attention(a, b, c, scale), q, k, v)
-    gf = attn_mod._flash_bwd(scale, 128, 128, (q, k, v), g)
+    gf = attn_mod._flash_bwd(scale, 128, 128, 1, (q, k, v), g)
     for a, b in zip(gx, gf):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
     # and the forward value itself matches

@@ -50,18 +50,20 @@ def _xla_attention(q, k, v, scale):
     return jnp.einsum("bij,bjd->bid", p.astype(v.dtype), v).astype(q.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _flash(q, k, v, scale, block_q, block_k):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash(q, k, v, scale, block_q, block_k, head_block):
     """Pallas flash forward with an XLA-attention backward, so training can
     differentiate through the kernel (the Pallas call has no JVP rule)."""
-    return flash_attention(q, k, v, scale=scale, block_q=block_q, block_k=block_k)
+    return flash_attention(
+        q, k, v, scale=scale, block_q=block_q, block_k=block_k, head_block=head_block
+    )
 
 
-def _flash_fwd(q, k, v, scale, block_q, block_k):
-    return _flash(q, k, v, scale, block_q, block_k), (q, k, v)
+def _flash_fwd(q, k, v, scale, block_q, block_k, head_block):
+    return _flash(q, k, v, scale, block_q, block_k, head_block), (q, k, v)
 
 
-def _flash_bwd(scale, block_q, block_k, res, g):
+def _flash_bwd(scale, block_q, block_k, head_block, res, g):
     """Memory-bounded backward: the XLA attention vjp materializes the full
     [BH, S, S] fp32 score/prob matrices; at SDXL-training shapes (S=4096)
     that is GiBs. Chunk sequentially over the BH axis so the peak is one
@@ -94,18 +96,22 @@ def attention(
     if scale is None:
         scale = float(dh) ** -0.5
     if _use_flash(q.shape[1], dh) and k.shape[1] >= _FLASH_MIN_SK:
-        # measured v5e sweep (tools/bench_attention.py, ones-column kernel):
-        #   S=4096: (2048,1024) 3.33 ms / 51.6 TFLOP/s (best)
-        #   S=1024: (1024,512)  1.49 ms (best)
+        # measured v5e sweep (tools/bench_attention.py, ones-column kernel,
+        # head-blocked grids):
+        #   S=4096: G=2 (1024,1024) 3.14 ms / 54.7 TFLOP/s
+        #   S=1024: G=4 (256,1024)  1.31 ms / 16.4 TFLOP/s
         if k.shape[1] >= 2048:
-            block_q, block_k = 2048, 1024
+            block_q, block_k, g = 1024, 1024, 2
         else:
-            block_q, block_k = 1024, 512
+            block_q, block_k, g = 256, 1024, 4
+        if q.shape[0] % g:
+            g = 2 if q.shape[0] % 2 == 0 else 1
         if interpret:
             return flash_attention(
-                q, k, v, scale=scale, block_q=block_q, block_k=block_k, interpret=True
+                q, k, v, scale=scale, block_q=block_q, block_k=block_k,
+                head_block=g, interpret=True,
             )
-        return _flash(q, k, v, scale, block_q, block_k)
+        return _flash(q, k, v, scale, block_q, block_k, g)
     return _xla_attention(q, k, v, scale)
 
 

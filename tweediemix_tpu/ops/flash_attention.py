@@ -10,6 +10,14 @@ stay bf16 on the MXU.
 Diffusion attention here is non-causal (image tokens attend everywhere;
 cross-attention attends to all 77 text tokens), so there is no causal mask —
 only an optional kv-length mask for shapes padded up to the block size.
+
+Two measured-on-v5e tricks:
+* the softmax denominator rides the p@v matmul in a ones-column of v —
+  at dh=64 those MXU output lanes are idle anyway, and the VPU row-sum
+  pass over the score tile disappears;
+* ``head_block`` heads are processed per grid step (batched dot_general),
+  amortizing per-step scratch init/DMA overhead — worth 6-12% at SDXL
+  shapes (tools/bench_attention.py).
 """
 
 from __future__ import annotations
@@ -26,14 +34,13 @@ NEG_INF = -1e30
 
 def _flash_kernel(
     kv_len_ref,  # SMEM (1,1) int32: true kv length (<= padded Sk)
-    q_ref,  # VMEM [1, block_q, dh]
-    k_ref,  # VMEM [1, block_k, dh]
-    v_ref,  # VMEM [1, block_k, dh_acc] — v widened with a ones-column at dh
-    o_ref,  # VMEM [1, block_q, dh]
-    m_scr,  # VMEM [block_q, 128] fp32 running max (column 0)
-    acc_scr,  # VMEM [block_q, dh_acc] fp32 accumulator (column dh = denom)
+    q_ref,  # VMEM [G, block_q, dh]
+    k_ref,  # VMEM [G, block_k, dh]
+    v_ref,  # VMEM [G, block_k, dh_acc] — v widened with a ones-column at dh
+    o_ref,  # VMEM [G, block_q, dh]
+    m_scr,  # VMEM [G, block_q, 128] fp32 running max (column 0)
+    acc_scr,  # VMEM [G, block_q, dh_acc] fp32 accumulator (column dh = denom)
     *,
-    scale: float,
     block_k: int,
     dh: int,
     needs_mask: bool,
@@ -47,54 +54,53 @@ def _flash_kernel(
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
     # scale folded into q in log2 domain (q pre-scaled by scale*log2(e) on
-    # the host side): saves a full VPU pass over the SxS scores, and exp2 is
+    # the host side): saves a full VPU pass over the score tile, and exp2 is
     # the native transcendental. The running max/denominator then live in
     # the log2 domain, which cancels in the final normalization.
-    q = q_ref[0]
-    k = k_ref[0]
     s = jax.lax.dot_general(
-        q,
-        k,
-        dimension_numbers=(((1,), (1,)), ((), ())),
+        q_ref[:],
+        k_ref[:],
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    )
-    del scale  # already folded into q
+    )  # [G, block_q, block_k]
 
     if needs_mask:
         kv_len = kv_len_ref[0, 0]
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kv_idx * block_k
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2) + kv_idx * block_k
         s = jnp.where(col < kv_len, s, NEG_INF)
 
-    m_prev = m_scr[:, :1]
-    m_cur = jnp.max(s, axis=1, keepdims=True)
+    m_prev = m_scr[:, :, :1]
+    m_cur = jnp.max(s, axis=2, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
     p = jnp.exp2(s - m_new)
     corr = jnp.exp2(m_prev - m_new)
-    m_scr[:, :1] = m_new
+    m_scr[:, :, :1] = m_new
 
     # v carries a ones-column at index dh, so this single MXU pass yields
     # both p@v and the row-sum of p (the softmax denominator) in column dh —
     # at dh=64 those output lanes are free on the 128-lane MXU, and the
-    # separate VPU sum pass over the [block_q, block_k] scores disappears.
+    # separate VPU sum pass over the score tile disappears.
     pv = jax.lax.dot_general(
         p.astype(v_ref.dtype),
-        v_ref[0],
-        dimension_numbers=(((1,), (0,)), ((), ())),
+        v_ref[:],
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
     acc_scr[:] = acc_scr[:] * corr + pv
 
     @pl.when(kv_idx == num_kv - 1)
     def _finish():
-        denom = jnp.maximum(acc_scr[:, dh : dh + 1], 1e-30)
-        o_ref[0] = (acc_scr[:, :dh] / denom).astype(o_ref.dtype)
+        denom = jnp.maximum(acc_scr[:, :, dh : dh + 1], 1e-30)
+        o_ref[:] = (acc_scr[:, :, :dh] / denom).astype(o_ref.dtype)
 
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("scale", "block_q", "block_k", "head_block", "interpret")
+)
 def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -102,6 +108,7 @@ def flash_attention(
     scale: float | None = None,
     block_q: int = 256,
     block_k: int = 512,
+    head_block: int = 1,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Non-causal flash attention.
@@ -111,6 +118,8 @@ def flash_attention(
       k, v: [BH, Sk, dh].
       scale: softmax scale; defaults to dh**-0.5.
       block_q, block_k: tile sizes (clamped to padded sequence lengths).
+      head_block: heads processed per grid step (must divide BH; the
+        caller's dispatch falls back to 1 when it doesn't).
       interpret: run the kernel in interpreter mode (CPU testing).
 
     Returns [BH, Sq, dh] with q's dtype.
@@ -124,6 +133,7 @@ def flash_attention(
 
     q = (q.astype(jnp.float32) * (scale * math.log2(math.e))).astype(q.dtype)
 
+    g = head_block if bh % head_block == 0 else 1
     block_q = min(block_q, _round_up(sq, 128))
     block_k = min(block_k, _round_up(sk, 128))
     sq_p = _round_up(sq, block_q)
@@ -147,9 +157,9 @@ def flash_attention(
 
     kv_len = jnp.array([[sk]], dtype=jnp.int32)
 
-    grid = (bh, sq_p // block_q, sk_p // block_k)
+    grid = (bh // g, sq_p // block_q, sk_p // block_k)
     kernel = functools.partial(
-        _flash_kernel, scale=scale, block_k=block_k, dh=dh, needs_mask=needs_mask
+        _flash_kernel, block_k=block_k, dh=dh, needs_mask=needs_mask
     )
 
     out = pl.pallas_call(
@@ -158,14 +168,14 @@ def flash_attention(
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, block_q, dh), lambda b, i, j, *_: (b, i, 0)),
-                pl.BlockSpec((1, block_k, dh), lambda b, i, j, *_: (b, j, 0)),
-                pl.BlockSpec((1, block_k, dh_acc), lambda b, i, j, *_: (b, j, 0)),
+                pl.BlockSpec((g, block_q, dh), lambda b, i, j, *_: (b, i, 0)),
+                pl.BlockSpec((g, block_k, dh), lambda b, i, j, *_: (b, j, 0)),
+                pl.BlockSpec((g, block_k, dh_acc), lambda b, i, j, *_: (b, j, 0)),
             ],
-            out_specs=pl.BlockSpec((1, block_q, dh), lambda b, i, j, *_: (b, i, 0)),
+            out_specs=pl.BlockSpec((g, block_q, dh), lambda b, i, j, *_: (b, i, 0)),
             scratch_shapes=[
-                pltpu.VMEM((block_q, 128), jnp.float32),
-                pltpu.VMEM((block_q, dh_acc), jnp.float32),
+                pltpu.VMEM((g, block_q, 128), jnp.float32),
+                pltpu.VMEM((g, block_q, dh_acc), jnp.float32),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((bh, sq_p, dh), q.dtype),
