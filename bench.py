@@ -141,10 +141,17 @@ def main():
         np.asarray(jax.device_get(x.ravel()[0]))
         return x
 
+    def timed(num_seeds, reps=2):
+        # min over reps: the tunneled chip shows ~5% run-to-run variance
+        best = float("inf")
+        for r in range(reps):
+            t0 = time.perf_counter()
+            sync(run_batch(1 + r, num_seeds))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
     sync(run_batch(0, 1))  # compile + warm
-    t0 = time.perf_counter()
-    sync(run_batch(1, 1))
-    dt = time.perf_counter() - t0
+    dt = timed(1)
 
     # Headline = BASELINE.json's tracked metric: "2-concept SDXL
     # images/min/chip at 50 steps", measured at the serving batch
@@ -160,9 +167,7 @@ def main():
     result = {}
     if n_seeds > 1:
         sync(run_batch(0, n_seeds))  # compile + warm
-        t0s = time.perf_counter()
-        sync(run_batch(1, n_seeds))
-        dts = time.perf_counter() - t0s
+        dts = timed(n_seeds)
         result = {
             "metric": (
                 f"2concept_sdxl_1024_50step_images_per_min_chip_seeds{n_seeds}"
