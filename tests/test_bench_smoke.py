@@ -1,0 +1,44 @@
+"""Guard the graded benchmark entry points: bench.py and __graft_entry__
+must keep working on the CPU micro path regardless of library refactors
+(the driver runs both on real hardware at round end)."""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_bench_cpu_micro_smoke():
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["TWEEDIEMIX_BENCH_SEEDS"] = "0"  # latency-only: keep CI fast
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu');"
+        "import runpy, sys; sys.argv=['bench.py'];"
+        f"runpy.run_path(r'{os.path.join(REPO, 'bench.py')}', run_name='__main__')"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], env=env, capture_output=True, text=True,
+        cwd=REPO, timeout=900,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    rec = json.loads(line)
+    assert {"metric", "value", "unit", "vs_baseline"} <= set(rec)
+    assert rec["value"] > 0
+
+
+def test_entry_compiles():
+    sys.path.insert(0, REPO)
+    try:
+        import __graft_entry__ as g
+
+        import jax
+
+        fn, args = g.entry()
+        out = jax.jit(fn)(*args)
+        assert out.shape[0] == 1
+    finally:
+        sys.path.remove(REPO)
