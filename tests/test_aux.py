@@ -1,0 +1,82 @@
+"""Auxiliary-subsystem tests: metrics logging, phase timing, LAION
+retrieval offline behavior (SURVEY §5 equivalents)."""
+
+import json
+import os
+from unittest import mock
+
+import pytest
+
+
+def test_metrics_logger_jsonl(tmp_path):
+    from tweediemix_tpu.utils.logging import MetricsLogger
+
+    lg = MetricsLogger(str(tmp_path), run_name="t")
+    lg.log(1, {"loss": 0.5, "lr": 1e-5})
+    lg.log(2, {"loss": 0.25})
+    lg.close()
+    lines = open(tmp_path / "t.metrics.jsonl").read().strip().splitlines()
+    assert len(lines) == 2
+    rec = json.loads(lines[0])
+    assert rec["step"] == 1 and rec["loss"] == 0.5 and "time" in rec
+    assert json.loads(lines[1])["loss"] == 0.25
+    # disabled logger is a no-op
+    MetricsLogger(None).log(1, {"x": 1.0})
+
+
+def test_phase_timer(tmp_path):
+    from tweediemix_tpu.utils.profiling import PhaseTimer
+
+    t = PhaseTimer()
+    with t.phase("a"):
+        pass
+    with t.phase("a"):
+        pass
+    with t.phase("b"):
+        pass
+    rep = t.report()
+    assert set(rep) == {"a", "b"} and rep["a"] >= 0
+    p = tmp_path / "phases.json"
+    t.dump(str(p))
+    assert set(json.loads(p.read_text())) == {"a", "b"}
+
+
+def test_retrieve_offline_raises(tmp_path):
+    """Zero-egress environment: retrieve must raise RuntimeError (the
+    trainer then falls back to generated class images) and must not leave
+    partial output files."""
+    from tweediemix_tpu.training import retrieve as R
+
+    with mock.patch.object(
+        R.urllib.request, "urlopen", side_effect=OSError("no route")
+    ):
+        with pytest.raises(RuntimeError, match="offline"):
+            R.retrieve("photo of a cat", str(tmp_path / "cls"), 4)
+    assert not os.path.exists(tmp_path / "cls" / "caption.txt")
+
+
+def test_retrieve_writes_reference_file_contract(tmp_path):
+    """With the network mocked, retrieve writes the reference's exact file
+    set: images/, caption.txt, urls.txt, images.txt (retrieve.py:14-76)."""
+    from tweediemix_tpu.training import retrieve as R
+
+    items = [{"url": f"http://x/{i}.jpg", "caption": f"cap {i}"} for i in range(8)]
+
+    def fake_query(text, num, indice="laion_400m"):
+        return items
+
+    def fake_retrieve_url(url, path):
+        with open(path, "wb") as f:
+            f.write(b"\xff\xd8fake")
+
+    with mock.patch.object(R, "_query", fake_query), mock.patch.object(
+        R.urllib.request, "urlretrieve", fake_retrieve_url
+    ):
+        n = R.retrieve("photo of a cat", str(tmp_path), 3)
+    assert n == 3
+    caps = open(tmp_path / "caption.txt").read().splitlines()
+    urls = open(tmp_path / "urls.txt").read().splitlines()
+    imgs = open(tmp_path / "images.txt").read().splitlines()
+    assert len(caps) == len(urls) == len(imgs) == 3
+    assert urls[0] == "http://x/0.jpg"
+    assert all(os.path.exists(p) for p in imgs)
