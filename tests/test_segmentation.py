@@ -451,3 +451,29 @@ def test_sam_encoder_non_divisible_window():
     params = jax.jit(sam.init)(jax.random.PRNGKey(0), img, boxes)["params"]
     logits, iou = jax.jit(sam.apply)({"params": params}, img, boxes)
     assert bool(jnp.isfinite(logits).all()) and bool(jnp.isfinite(iou).all())
+
+
+def test_segment_cli_file_contract(tmp_path):
+    """cli/segment writes one '<concept>.jpg' per '+'-separated concept —
+    the exact files the reference sampler consumes (run_expand.py:84-87)."""
+    from PIL import Image
+
+    from tweediemix_tpu.cli.segment import main
+
+    img = tmp_path / "tweedie.jpg"
+    rng = np.random.RandomState(0)
+    Image.fromarray(rng.randint(0, 255, (64, 64, 3), np.uint8)).save(img)
+
+    for preset in ["heuristic", "sam-random"]:
+        out = tmp_path / f"out_{preset}"
+        rc = main([
+            "--input_path", str(img),
+            "--text_condition", "a cat+a dog",
+            "--output_path", str(out),
+            "--seg_preset", preset,
+        ])
+        assert rc == 0
+        for name in ["a cat", "a dog"]:
+            m = np.asarray(Image.open(out / f"{name}.jpg").convert("L"), np.float32)
+            assert m.shape == (64, 64)
+            assert m.max() <= 255.0
