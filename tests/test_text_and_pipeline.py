@@ -335,3 +335,19 @@ def test_convert_clip_vision_state_dict():
         assert tuple(got[p].shape) == tuple(want[p].shape), p
     pooled = model.apply({"params": traverse_util.unflatten_dict(got)}, img)
     assert pooled.shape == (1, 24)
+
+
+def test_nearest_tokens_find_disc():
+    """find_disc parity probe: a modifier embedding initialized from a known
+    vocab row must resolve back to that row (and to itself after a small
+    perturbation)."""
+    from tweediemix_tpu.models.clip import nearest_tokens
+
+    key = jax.random.PRNGKey(0)
+    table = jax.random.normal(key, (50, 8))
+    ids, scores = nearest_tokens(table[17], table, top_k=3)
+    assert int(ids[0]) == 17
+    assert float(scores[0]) >= float(scores[1]) >= float(scores[2])
+    noisy = table[17] + 0.01 * jax.random.normal(jax.random.fold_in(key, 1), (8,))
+    ids2, _ = nearest_tokens(noisy, table, top_k=1)
+    assert int(ids2[0]) == 17
