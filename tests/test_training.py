@@ -467,3 +467,39 @@ def test_full_optimizer_8bit_state():
     g = {"w": jnp.ones((300,)) * 0.1}
     upd, state2 = opt.update(g, state, params)
     assert bool(jnp.isfinite(upd["w"]).all())
+
+
+def test_cli_train_concepts_list_json(tmp_path, image_dirs):
+    """--concepts_list JSON (the reference's multi-concept config,
+    diffusers_training_xl_new.py:431-436,534-545) drives the tiny trainer."""
+    import json as _json
+
+    from tweediemix_tpu.cli.train import main as train_main
+
+    inst, cls = image_dirs
+    spec = [
+        {"instance_data_dir": inst, "instance_prompt": "photo of a <a1> cat",
+         "class_data_dir": cls, "class_prompt": "photo of a cat"},
+        {"instance_data_dir": inst, "instance_prompt": "photo of a <b1> dog",
+         "class_data_dir": cls, "class_prompt": "photo of a dog"},
+    ]
+    cfg = tmp_path / "concepts.json"
+    cfg.write_text(_json.dumps(spec))
+    out = tmp_path / "ckpt"
+    rc = train_main([
+        "--model_preset", "tiny",
+        "--resolution", "64",
+        "--concepts_list", str(cfg),
+        "--with_prior_preservation",
+        "--modifier_token", "<a1>+<b1>",
+        "--max_train_steps", "2",
+        "--save_steps", "2",
+        "--output_dir", str(out),
+    ])
+    assert rc == 0
+    ckpts = list(out.glob("delta-*.bin"))
+    assert ckpts, list(out.iterdir())
+    from tweediemix_tpu.concepts.delta import load_reference_delta
+
+    delta = load_reference_delta(str(ckpts[0]))
+    assert "<a1>" in delta["modifier_token"] and "<b1>" in delta["modifier_token"]
