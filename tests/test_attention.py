@@ -158,3 +158,25 @@ def test_lora_delta_zero_slot_and_per_row():
     for i in (1, 2):
         want = (x[i] @ down[i]) @ up[i]
         np.testing.assert_allclose(np.asarray(got[i]), np.asarray(want), rtol=1e-4, atol=1e-5)
+
+
+def test_chunked_xla_fallback_matches_direct(monkeypatch):
+    """Large-S shapes flash doesn't cover (e.g. dh=16) switch to
+    query-chunked XLA attention; results must match the direct path."""
+    import importlib
+
+    attn_mod = importlib.import_module("tweediemix_tpu.ops.attention")
+
+    key = jax.random.PRNGKey(5)
+    q, k, v = (0.3 * jax.random.normal(jax.random.fold_in(key, i), (3, 200, 16))
+               for i in range(3))
+    want = attn_mod._xla_attention(q, k, v, 16.0**-0.5)
+
+    # force the chunked path with a tiny cap (200 doesn't divide 64: the
+    # padding/slice logic is exercised too)
+    monkeypatch.setattr(attn_mod, "_XLA_SCORE_BYTES_CAP", 1024)
+    got = attn_mod.attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6)
+    # direct equivalence of the chunked helper as well
+    got2 = attn_mod._xla_attention_chunked(q, k, v, 16.0**-0.5, chunk=64)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want), rtol=1e-5, atol=1e-6)

@@ -50,6 +50,26 @@ def _xla_attention(q, k, v, scale):
     return jnp.einsum("bij,bjd->bid", p.astype(v.dtype), v).astype(q.dtype)
 
 
+# cap on the materialized [BH, Sq, Sk] fp32 score tensor before the XLA
+# fallback switches to query-chunked evaluation (the flash kernel only
+# covers dh 64/128/256; e.g. the tiny test UNet's dh=16 at 1024² latents
+# is 16k tokens — unchunked that is a 16 GiB score tensor and OOMs HBM)
+_XLA_SCORE_BYTES_CAP = 256 * 1024 * 1024
+
+
+def _xla_attention_chunked(q, k, v, scale, chunk: int):
+    """Query-chunked XLA attention: peak memory ~ BH * chunk * Sk * 4."""
+    bh, sq, dh = q.shape
+    pad = (-sq) % chunk
+    if pad:
+        q = jnp.pad(q, ((0, 0), (0, pad), (0, 0)))
+    n = q.shape[1] // chunk
+    qs = q.reshape(bh, n, chunk, dh).transpose(1, 0, 2, 3)
+    out = jax.lax.map(lambda qc: _xla_attention(qc, k, v, scale), qs)
+    out = out.transpose(1, 0, 2, 3).reshape(bh, n * chunk, dh)
+    return out[:, :sq]
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def _flash(q, k, v, scale, block_q, block_k, head_block):
     """Pallas flash forward with an XLA-attention backward, so training can
@@ -112,6 +132,11 @@ def attention(
                 head_block=g, interpret=True,
             )
         return _flash(q, k, v, scale, block_q, block_k, g)
+    score_bytes = 4 * q.shape[0] * q.shape[1] * k.shape[1]
+    if score_bytes > _XLA_SCORE_BYTES_CAP:
+        chunk = max(128, _XLA_SCORE_BYTES_CAP // (4 * q.shape[0] * k.shape[1]))
+        chunk = min(chunk, q.shape[1])
+        return _xla_attention_chunked(q, k, v, scale, chunk)
     return _xla_attention(q, k, v, scale)
 
 
