@@ -8,8 +8,13 @@ Prints ONE JSON line. The headline is BASELINE.json's tracked metric —
 images/min/chip at the 4-seed serving batch — with vs_baseline measured
 against the 60/32 = 1.875 images/min/chip rate the <4 s v5e-8 north star
 implies (32 chip-seconds per image); single-seed latency rides along as
-"single_seed_s_per_image". TWEEDIEMIX_BENCH_SEEDS overrides the serving
-batch (0 = latency-only, headline reverts to s/image).
+"single_seed_s_per_image". Both ratio framings are emitted
+(vs_baseline_latency = 4 s / single-seed s; vs_baseline_throughput =
+rate / 1.875), and the video-stage metric (BASELINE config 4; see
+tools/bench_video.py) rides along as video_clip_s / video_frames_per_s /
+video_vs_baseline (240 chip-s budget / measured). TWEEDIEMIX_BENCH_SEEDS
+overrides the serving batch (0 = latency-only, headline reverts to
+s/image); TWEEDIEMIX_BENCH_VIDEO=0 skips the video stage.
 
 Weights are random/zeros (real SDXL weights are not downloadable in this
 environment); FLOPs, memory traffic, and the trajectory structure are
@@ -191,6 +196,30 @@ def main():
             "vs_baseline": round(4.0 / dt, 3),
         }
     result["single_seed_s_per_image"] = round(dt, 3)
+    # both ratio framings, so the artifact is self-describing (r01 reported
+    # the latency ratio, r02 the throughput ratio — emit both from now on):
+    # - latency: <4 s north-star wall-clock over measured single-seed latency
+    # - throughput: measured rate over the 1.875 img/min/chip the 32
+    #   chip-second v5e-8 budget implies
+    result["vs_baseline_latency"] = round(4.0 / dt, 3)
+    if n_seeds > 1:
+        result["vs_baseline_throughput"] = round(
+            (60.0 * n_seeds / dts) / (60.0 / 32.0), 3)
+    else:
+        result["vs_baseline_throughput"] = round((60.0 / dt) / (60.0 / 32.0), 3)
+
+    # video stage (BASELINE config 4: 16-frame 512px I2V clip, <30 s on
+    # v5e-8 = 240 chip-seconds). On by default so the graded artifact
+    # carries it; TWEEDIEMIX_BENCH_VIDEO=0 skips.
+    if int(os.environ.get("TWEEDIEMIX_BENCH_VIDEO", "1")):
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+        import bench_video
+
+        vm = bench_video.measure()
+        result["video_metric"] = vm["metric"]
+        result["video_clip_s"] = vm["s_per_clip"]
+        result["video_frames_per_s"] = vm["frames_per_s"]
+        result["video_vs_baseline"] = round(240.0 / vm["s_per_clip"], 3)
 
     print(json.dumps(result))
     return 0

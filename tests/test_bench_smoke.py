@@ -26,8 +26,11 @@ def test_bench_cpu_micro_smoke():
     assert out.returncode == 0, out.stderr[-2000:]
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
     rec = json.loads(line)
-    assert {"metric", "value", "unit", "vs_baseline"} <= set(rec)
+    assert {"metric", "value", "unit", "vs_baseline",
+            "vs_baseline_latency", "vs_baseline_throughput",
+            "video_metric", "video_clip_s", "video_frames_per_s"} <= set(rec)
     assert rec["value"] > 0
+    assert rec["video_clip_s"] > 0
 
 
 def test_entry_compiles():

@@ -75,6 +75,38 @@ def test_lang_sam_predict():
     assert boxes.shape[0] == masks.shape[0] == scores.shape[0]
 
 
+def test_no_detection_warns_and_records():
+    """When no box clears box_threshold, the segment_fn must warn loudly
+    (naming the concept), record the miss, and fall back to the top box
+    instead of crashing (the reference IndexErrors, lang_sam.py:95-106)."""
+    import warnings
+
+    from tweediemix_tpu.segmentation.lang_sam import make_model_segment_fn
+
+    # box_threshold=2.0: sigmoid scores can never clear it → every concept
+    # is a guaranteed no-detection
+    ls = LangSAM.random_init(jax.random.PRNGKey(0))
+    ls.box_threshold = 2.0
+    fn = make_model_segment_fn(ls, "a cat+a dog")
+    img = jax.random.uniform(jax.random.PRNGKey(2), (64, 64, 3))
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        masks = fn(img)
+    assert masks.shape[0] == 2
+    assert bool(jnp.all(jnp.isfinite(masks)))
+    msgs = [str(w.message) for w in caught]
+    assert any("a cat" in m and "box_threshold" in m for m in msgs)
+    assert any("a dog" in m for m in msgs)
+    # recorded on the segment_fn for the caller / output metadata
+    assert [c for c, _ in fn.no_detections] == ["a cat", "a dog"]
+    # a successful call resets the record
+    ls.box_threshold = -1.0
+    with warnings.catch_warnings(record=True) as caught2:
+        warnings.simplefilter("always")
+        fn(img)
+    assert fn.no_detections == [] and caught2 == []
+
+
 def test_heuristic_segmenter_partition():
     seg = HeuristicSegmenter(2)
     img = jnp.ones((1, 32, 48, 3))
@@ -253,6 +285,28 @@ def test_cli_sam_preset_fails_fast_without_weights(tmp_path):
             "--modifier_token", "<a>+<b>",
             "--seg_concepts", "a cat",
             "--seg_preset", "sam",
+            "--output_path", str(tmp_path / "out"),
+            "--n_timesteps", "2", "--t_cond", "0.5",
+            "--resolution_h", "128", "--resolution_w", "128",
+        ])
+
+
+def test_cli_rejects_half_supplied_seg_weights(tmp_path):
+    """Exactly one of --sam_checkpoint/--detector_dir with seg_preset unset
+    must error, not silently fall back to the heuristic segmenter."""
+    import pytest as _pytest
+
+    from tweediemix_tpu.cli.fusion_sampling import main
+
+    with _pytest.raises(SystemExit, match="--detector_dir"):
+        main([
+            "--model_preset", "tiny",
+            "--prompt", "a cat+bg",
+            "--prompt_orig", "a cat",
+            "--concepts", "cat+bg",
+            "--modifier_token", "<a>+<b>",
+            "--seg_concepts", "a cat",
+            "--sam_checkpoint", str(tmp_path / "sam.pth"),
             "--output_path", str(tmp_path / "out"),
             "--n_timesteps", "2", "--t_cond", "0.5",
             "--resolution_h", "128", "--resolution_w", "128",

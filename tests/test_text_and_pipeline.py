@@ -24,7 +24,7 @@ def test_clip_text_model_shapes_and_pooling():
     model = CLIPTextModel(cfg)
     ids = jnp.zeros((2, 16), jnp.int32).at[0, 3].set(cfg.eos_token_id).at[1, 7].set(cfg.eos_token_id)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), ids)["params"]
-    pen, final, pooled = jax.jit(lambda p, i: model.apply({"params": p}, i))(params, ids)
+    pen, final, pooled, pen_ln = jax.jit(lambda p, i: model.apply({"params": p}, i))(params, ids)
     assert pen.shape == (2, 16, cfg.hidden_size)
     assert final.shape == (2, 16, cfg.hidden_size)
     assert pooled.shape == (2, cfg.hidden_size)
@@ -37,7 +37,7 @@ def test_clip_projection_dim():
     model = CLIPTextModel(cfg)
     ids = jnp.zeros((1, 8), jnp.int32).at[0, 5].set(cfg.eos_token_id)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), ids)["params"]
-    _, _, pooled = model.apply({"params": params}, ids)
+    pooled = model.apply({"params": params}, ids)[2]
     assert pooled.shape == (1, 24)
 
 

@@ -48,10 +48,14 @@ def test_clip_text_tower_matches_hf(hf_text_pair):
     with torch.no_grad():
         out = model.text_model(ids, output_hidden_states=True)
         text_embeds = model(ids).text_embeds
+        # clip_skip=1 path: final_layer_norm(hidden_states[-2])
+        # (video_gen/pipeline_i2vgen_xl.py:505,202-217)
+        skip1 = model.text_model.final_layer_norm(out.hidden_states[-2])
 
     params = convert_clip_state_dict(_sd(model))
     ours = CLIPTextModel(CLIPTextConfig.tiny(projection_dim=32))
-    pen, final, pooled = ours.apply({"params": params}, jnp.asarray(ids.numpy()))
+    pen, final, pooled, pen_ln = ours.apply(
+        {"params": params}, jnp.asarray(ids.numpy()))
 
     np.testing.assert_allclose(
         np.asarray(pen), out.hidden_states[-2].numpy(), rtol=1e-4, atol=1e-5)
@@ -59,6 +63,47 @@ def test_clip_text_tower_matches_hf(hf_text_pair):
         np.asarray(final), out.last_hidden_state.numpy(), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(
         np.asarray(pooled), text_embeds.numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(pen_ln), skip1.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_clip_text_tower_gelu_matches_hf():
+    """hidden_act="gelu" branch (the bigG / I2VGen-XL tower config,
+    fusion_sampling.py:119-123, run_video.py:21-22) — the quick_gelu case
+    above never exercises models/clip.py's exact-gelu activation."""
+    from transformers import CLIPTextConfig as HFCfg, CLIPTextModelWithProjection
+
+    from tweediemix_tpu.models.clip import CLIPTextConfig, CLIPTextModel
+    from tweediemix_tpu.models.convert import convert_clip_state_dict
+
+    torch.manual_seed(4)
+    cfg = HFCfg(
+        vocab_size=1000, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=2,
+        max_position_embeddings=77, hidden_act="gelu",
+        eos_token_id=999, bos_token_id=998, pad_token_id=0, projection_dim=32,
+    )
+    model = CLIPTextModelWithProjection(cfg).eval()
+    ids = torch.randint(1, 998, (2, 77))
+    ids[0, 5] = 999
+    ids[1, 70] = 999
+    with torch.no_grad():
+        out = model.text_model(ids, output_hidden_states=True)
+        text_embeds = model(ids).text_embeds
+        skip1 = model.text_model.final_layer_norm(out.hidden_states[-2])
+
+    params = convert_clip_state_dict(_sd(model))
+    ours = CLIPTextModel(CLIPTextConfig.tiny(projection_dim=32, hidden_act="gelu"))
+    pen, final, pooled, pen_ln = ours.apply(
+        {"params": params}, jnp.asarray(ids.numpy()))
+    np.testing.assert_allclose(
+        np.asarray(pen), out.hidden_states[-2].numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(final), out.last_hidden_state.numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(pooled), text_embeds.numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(pen_ln), skip1.numpy(), rtol=1e-4, atol=1e-5)
 
 
 def test_clip_vision_tower_matches_hf():

@@ -155,6 +155,97 @@ def test_train_step_only_moves_trainable_leaves():
         np.testing.assert_allclose(others, 0, atol=2e-5)  # wd-only drift
 
 
+def test_train_text_encoder_full_towers(tmp_path):
+    """--train_text_encoder: whole text towers train (reference
+    diffusers_training_xl_new.py:301,865-869), modifier-row grad masking
+    still applies, and the delta checkpoint gains reference-schema
+    'text_encoder'/'text_encoder_2' state dicts (:52-53) that roundtrip."""
+    from tweediemix_tpu.models.clip import CLIPTextConfig, CLIPTextModel
+    from tweediemix_tpu.models.unet2d import UNet2DConditionModel, UNetConfig
+    from tweediemix_tpu.schedulers.ddim import training_alphas_cumprod
+    from tweediemix_tpu.training.custom_diffusion import TrainConfig
+    from tweediemix_tpu.training.trainer import (
+        FullTrainState,
+        embedding_row_mask,
+        full_trainable_mask,
+        make_full_optimizer,
+        make_full_train_step,
+        save_delta_checkpoint,
+        trainable_subset,
+    )
+
+    key = jax.random.PRNGKey(0)
+    c1 = CLIPTextConfig.tiny()
+    c2 = CLIPTextConfig.tiny(projection_dim=32)
+    ucfg = UNetConfig.micro(cross_attention_dim=64, pooled_projection_dim=32,
+                            detach_first_token_kv=True)
+    unet = UNet2DConditionModel(ucfg)
+    te1, te2 = CLIPTextModel(c1), CLIPTextModel(c2)
+    h = 8
+    ids = jnp.zeros((2, 77), jnp.int32).at[:, 5].set(999)
+    params = {
+        "unet": jax.jit(unet.init)(
+            key, jnp.zeros((2, h, h, 4)), jnp.int32(1), jnp.zeros((2, 77, 64)),
+            jnp.zeros((2, 32)), jnp.zeros((2, 6)))["params"],
+        "te1": jax.jit(te1.init)(key, ids)["params"],
+        "te2": jax.jit(te2.init)(jax.random.fold_in(key, 1), ids)["params"],
+    }
+    cfg = TrainConfig(learning_rate=1e-3)
+    mask = full_trainable_mask(params, "crossattn_kv", True,
+                               train_text_encoder=True)
+    # every text-tower leaf is trainable
+    for te in ("te1", "te2"):
+        assert all(traverse_util.flatten_dict(mask[te]).values())
+    opt = make_full_optimizer(cfg, mask)
+    rm1 = embedding_row_mask(c1.vocab_size, [7])
+    rm2 = embedding_row_mask(c2.vocab_size, [7])
+    tids = jnp.array([[64, 64, 0, 0, 64, 64]], jnp.float32)
+    step = jax.jit(make_full_train_step(
+        unet, te1, te2, cfg, training_alphas_cumprod(), opt, rm1, rm2, tids,
+        mask=mask))
+    batch = {
+        "latents": jax.random.normal(key, (2, h, h, 4)),
+        "mask": jnp.ones((2, h, h, 1)),
+        "ids_one": ids.at[:, 2].set(7),
+        "ids_two": ids.at[:, 2].set(7),
+        "is_prior": jnp.zeros((2,)),
+    }
+    state = FullTrainState(step=jnp.zeros((), jnp.int32), params=params,
+                           opt_state=opt.init(trainable_subset(params, mask)))
+    state2, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert bool(jnp.isfinite(metrics["loss"]))
+
+    flat0 = traverse_util.flatten_dict(params)
+    flat1 = traverse_util.flatten_dict(state2.params)
+    # encoder-layer weights (not just embeddings) moved in both towers
+    for te in ("te1", "te2"):
+        p = (te, "layers_0", "fc1", "kernel")
+        assert float(jnp.max(jnp.abs(flat1[p] - flat0[p]))) > 0
+        # modifier-row masking still applies: row 7 moves by gradient,
+        # other rows only by weight decay (tiny)
+        emb0 = np.asarray(flat0[(te, "token_embedding", "embedding")])
+        emb1 = np.asarray(flat1[(te, "token_embedding", "embedding")])
+        diff = np.abs(emb1 - emb0).max(axis=1)
+        assert diff[7] > 0
+        np.testing.assert_allclose(np.delete(diff, 7), 0, atol=2e-5)
+
+    # checkpoint roundtrip with the text-encoder state dicts
+    from tweediemix_tpu.concepts.delta import load_reference_delta
+
+    f = str(tmp_path / "delta-1.bin")
+    save_delta_checkpoint(f, state2, mask, ["<a>"], [7], [7],
+                          save_text_encoder=True)
+    st = load_reference_delta(f)
+    for key_, te in (("text_encoder", "te1"), ("text_encoder_2", "te2")):
+        assert key_ in st
+        got = traverse_util.flatten_dict(st[key_])
+        want = traverse_util.flatten_dict(state2.params[te])
+        assert set(got) == set(want)
+        for p in want:
+            np.testing.assert_allclose(np.asarray(got[p]), np.asarray(want[p]),
+                                       rtol=1e-6, atol=1e-6, err_msg=str(p))
+
+
 def test_delta_checkpoint_roundtrip(tmp_path):
     from tweediemix_tpu.concepts.delta import (
         flax_path_to_torch_name,

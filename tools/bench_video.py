@@ -5,6 +5,9 @@ chunked per-frame fp32 VAE decode with random weights on the real chip —
 the run_video.py configuration. BASELINE target: <30 s/clip on v5e-8
 (240 chip-seconds); prints the single-chip chip-seconds equivalent.
 
+``measure()`` is importable (bench.py folds the clip time into the graded
+artifact); ``__main__`` prints the standalone JSON line.
+
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/bench_video.py
 """
 
@@ -15,7 +18,9 @@ import jax
 import jax.numpy as jnp
 
 
-def main():
+def measure() -> dict:
+    """Run the video-stage benchmark; returns
+    {"metric", "s_per_clip", "frames_per_s", "on_tpu"}."""
     from tweediemix_tpu.models.unet3d import UNet3DConditionModel, UNet3DConfig
     from tweediemix_tpu.models.vae import AutoencoderKL, VAEConfig
     from tweediemix_tpu.video.pipeline import I2VPipeline, VideoConfig
@@ -77,12 +82,22 @@ def main():
     video = pipe.generate(ctx, uctx, img, emb, seed=1)
     sync(video)
     dt = time.perf_counter() - t0
-
-    print(json.dumps({
+    return {
         "metric": "i2v_16f_512_50step_s_per_clip" if on_tpu else "i2v_tiny_cpu_s_per_clip",
-        "value": round(dt, 2),
+        "s_per_clip": round(dt, 2),
+        "frames_per_s": round(vid.num_frames / dt, 3),
+        "on_tpu": on_tpu,
+    }
+
+
+def main():
+    m = measure()
+    print(json.dumps({
+        "metric": m["metric"],
+        "value": m["s_per_clip"],
         "unit": "s",
-        "chip_seconds_vs_240_budget": round(dt / 240.0, 3),
+        "frames_per_s": m["frames_per_s"],
+        "chip_seconds_vs_240_budget": round(m["s_per_clip"] / 240.0, 3),
     }))
 
 

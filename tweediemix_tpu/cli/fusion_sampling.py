@@ -128,16 +128,26 @@ def _load_model_dir(opt):
     from tweediemix_tpu.models.vae import AutoencoderKL, VAEConfig
     from tweediemix_tpu.utils.tokenizer import CLIPBPETokenizer
 
+    from tweediemix_tpu.models.convert import (
+        validate_clip_params,
+        validate_unet_params,
+        validate_vae_params,
+    )
+
     d = opt.model_dir
     ucfg = UNetConfig.sdxl(dtype=jnp.bfloat16)
     uparams = load_unet_params(os.path.join(d, "unet"))
+    validate_unet_params(ucfg, uparams)
     vcfg = VAEConfig.sdxl()
     vae = AutoencoderKL(vcfg)
     vparams = load_vae_params(os.path.join(d, "vae"))
+    validate_vae_params(vcfg, vparams)
     c1 = CLIPTextConfig.sdxl_text_encoder(dtype=jnp.bfloat16)
     c2 = CLIPTextConfig.sdxl_text_encoder_2(dtype=jnp.bfloat16)
     p1 = load_clip_params(os.path.join(d, "text_encoder"))
     p2 = load_clip_params(os.path.join(d, "text_encoder_2"))
+    validate_clip_params(c1, p1)
+    validate_clip_params(c2, p2)
     text = DualTextEncoder(c1, c2, p1, p2)
     tok1 = CLIPBPETokenizer.from_dir(os.path.join(d, "tokenizer"))
     tok2 = CLIPBPETokenizer.from_dir(os.path.join(d, "tokenizer_2"))
@@ -204,6 +214,17 @@ def main(argv=None) -> int:
         opt.seg_preset = (
             "sam" if (opt.sam_checkpoint and opt.detector_dir) else "heuristic"
         )
+        if bool(opt.sam_checkpoint) != bool(opt.detector_dir):
+            given, missing = (
+                ("--sam_checkpoint", "--detector_dir")
+                if opt.sam_checkpoint else ("--detector_dir", "--sam_checkpoint")
+            )
+            raise SystemExit(
+                f"{given} was supplied without {missing}: the sam preset "
+                f"needs both (detector→box→SAM, lang_sam.py:20-24). Pass "
+                f"both, or set --seg_preset heuristic explicitly to run "
+                f"without model weights."
+            )
     if opt.mask_dir is None and opt.seg_concepts:
         # fail fast: without masks the sampler would die mid-trajectory
         from tweediemix_tpu.segmentation import make_segment_fn

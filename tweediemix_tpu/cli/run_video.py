@@ -100,15 +100,26 @@ def main(argv=None) -> int:
         )
         from tweediemix_tpu.utils.tokenizer import CLIPBPETokenizer
 
+        from tweediemix_tpu.models.convert import (
+            validate_clip_params,
+            validate_clip_vision_params,
+            validate_unet3d_params,
+            validate_vae_params,
+        )
+
         d = opt.model_dir
         ucfg = UNet3DConfig.i2vgen(dtype=jnp.bfloat16)
         uparams = load_unet3d_params(os.path.join(d, "unet"), dtype=jnp.bfloat16)
+        validate_unet3d_params(ucfg, uparams)
         vcfg = VAEConfig(scaling_factor=0.18215)
         vparams = load_vae_params(os.path.join(d, "vae"))
+        validate_vae_params(vcfg, vparams)
         tcfg = CLIPTextConfig.i2vgen_text_encoder(dtype=jnp.bfloat16)
         tparams = load_clip_params(os.path.join(d, "text_encoder"))
+        validate_clip_params(tcfg, tparams)
         vcfg_clip = CLIPVisionConfig.vit_h(dtype=jnp.bfloat16)
         visparams = load_clip_vision_params(os.path.join(d, "image_encoder"))
+        validate_clip_vision_params(vcfg_clip, visparams)
         tok = CLIPBPETokenizer.from_dir(os.path.join(d, "tokenizer"))
 
         text = CLIPTextModel(tcfg)
@@ -125,9 +136,10 @@ def main(argv=None) -> int:
     )
     pipe = I2VPipeline(vcfg_run, unet, uparams, vae, vparams)
 
-    # text conditioning: i2vgen uses the final-LN last hidden state
-    # (pipeline_i2vgen_xl.py encode_prompt, clip_skip=None)
-    encode = jax.jit(lambda p, ids: text.apply({"params": p}, ids)[1])
+    # text conditioning: the I2VGen-XL pipeline defaults to clip_skip=1 —
+    # final_layer_norm(hidden_states[-2]) for BOTH the positive and negative
+    # prompt (pipeline_i2vgen_xl.py:505,202-217,268-282)
+    encode = jax.jit(lambda p, ids: text.apply({"params": p}, ids)[3])
     ids_c = jnp.asarray(tok([opt.prompt]), jnp.int32)
     ids_u = jnp.asarray(tok([opt.negative_prompt]), jnp.int32)
     ctx_c = encode(tparams, ids_c)

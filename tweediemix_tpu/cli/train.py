@@ -40,8 +40,22 @@ def build_parser():
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--resolution", type=int, default=512)
     p.add_argument("--train_batch_size", type=int, default=1)
-    p.add_argument("--max_train_steps", type=int, default=251)
+    p.add_argument("--sample_batch_size", type=int, default=4,
+                   help="batch size for class-image generation "
+                        "(diffusers_training_xl_new.py:306,583)")
+    p.add_argument("--num_train_epochs", type=int, default=1,
+                   help="used when --max_train_steps is unset: "
+                        "max steps = epochs * ceil(len(dataset)/batch)/accum "
+                        "(diffusers_training_xl_new.py:308,900-903)")
+    p.add_argument("--max_train_steps", type=int, default=251,
+                   help="optimizer steps; pass 0 to derive from "
+                        "--num_train_epochs like the reference")
     p.add_argument("--save_steps", type=int, default=250)
+    p.add_argument("--train_text_encoder", action="store_true",
+                   help="train BOTH full text towers alongside the UNet "
+                        "attn2 subset (diffusers_training_xl_new.py:301,"
+                        "865-869); the delta checkpoint gains "
+                        "'text_encoder'/'text_encoder_2' state dicts (:52-53)")
     p.add_argument("--gradient_accumulation_steps", type=int, default=1)
     p.add_argument("--learning_rate", type=float, default=1e-5)
     p.add_argument("--scale_lr", action="store_true")
@@ -169,6 +183,14 @@ def main(argv=None) -> int:
         vae_params = load_vae_params(os.path.join(d, "vae"))
         unet = UNet2DConditionModel(ucfg)
         unet_params = load_unet_params(os.path.join(d, "unet"), dtype=jnp.bfloat16)
+        from tweediemix_tpu.models.convert import (
+            validate_clip_params, validate_unet_params, validate_vae_params)
+
+        validate_clip_params(c1, te1_params)
+        validate_clip_params(c2, te2_params)
+        validate_vae_params(vcfg, vae_params)
+        # validate against the plain config: lora slots are stacked on below
+        validate_unet_params(UNetConfig.sdxl(dtype=jnp.bfloat16), unet_params)
         if lora:
             from tweediemix_tpu.concepts.delta import stack_lora_params
 
@@ -204,6 +226,10 @@ def main(argv=None) -> int:
         c1 = dc.replace(c1, vocab_size=max(ids1) + 1)
         c2 = dc.replace(c2, vocab_size=max(ids2) + 1)
 
+    if opt.train_text_encoder and opt.gradient_checkpointing:
+        # full-tower grads need remat to fit beside the UNet in HBM
+        c1 = dc.replace(c1, remat=True)
+        c2 = dc.replace(c2, remat=True)
     te1 = CLIPTextModel(c1)
     te2 = CLIPTextModel(c2)
 
@@ -224,8 +250,8 @@ def main(argv=None) -> int:
                 def enc(prompts):
                     i1 = jnp.asarray(tok1(prompts), jnp.int32)
                     i2 = jnp.asarray(tok2(prompts), jnp.int32)
-                    p1, _, _ = te1.apply({"params": te1_params}, i1)
-                    p2_, _, pooled = te2.apply({"params": te2_params}, i2)
+                    p1 = te1.apply({"params": te1_params}, i1)[0]
+                    p2_, _, pooled, _ = te2.apply({"params": te2_params}, i2)
                     return jnp.concatenate([p1, p2_], -1), pooled
 
                 cctx, cpool = enc([c.class_prompt])
@@ -248,7 +274,8 @@ def main(argv=None) -> int:
                     c.class_data_dir, opt.num_class_images, ctx2, pool2,
                     unet_fn, unet_params, decode,
                     (opt.resolution // latent_factor, opt.resolution // latent_factor),
-                    n_steps=25, guidance_scale=6.0, batch=2, seed=opt.seed,
+                    n_steps=25, guidance_scale=6.0,
+                    batch=opt.sample_batch_size, seed=opt.seed,
                 )
                 print(f"generated {n} class images for {c.class_prompt!r}")
 
@@ -285,7 +312,8 @@ def main(argv=None) -> int:
         use_8bit_adam=opt.use_8bit_adam,
     )
     params = {"unet": unet_params, "te1": te1_params, "te2": te2_params}
-    mask = full_trainable_mask(params, opt.freeze_model, bool(modifier_tokens))
+    mask = full_trainable_mask(params, opt.freeze_model, bool(modifier_tokens),
+                               train_text_encoder=opt.train_text_encoder)
     # bf16 checkpoints: trainable leaves get fp32 master copies (AMP)
     from tweediemix_tpu.training.trainer import promote_trainable_to_fp32
 
@@ -345,6 +373,14 @@ def main(argv=None) -> int:
     # save cadence, and checkpoint names are in optimizer steps like the
     # reference's global_step (diffusers_training_xl_new.py:1071-1098)
     accum = opt.gradient_accumulation_steps
+    if not opt.max_train_steps:
+        # reference: epochs × ceil(len(dataloader)/accum) (:900-903)
+        import math
+
+        per_epoch = math.ceil(math.ceil(len(ds) / (opt.train_batch_size * n_dev)) / accum)
+        opt.max_train_steps = opt.num_train_epochs * per_epoch
+        print(f"max_train_steps derived from {opt.num_train_epochs} epochs: "
+              f"{opt.max_train_steps}")
     rng = jax.random.PRNGKey(opt.seed)
     start_opt_step = int(state.step) // accum
     micro_steps = (opt.max_train_steps - start_opt_step) * accum
@@ -361,13 +397,15 @@ def main(argv=None) -> int:
                 print(f"step {opt_step}: loss {float(metrics['loss']):.4f}")
             if opt_step > start_opt_step and opt_step % opt.save_steps == 0:
                 path = os.path.join(opt.output_dir, f"delta-{opt_step}.bin")
-                save_delta_checkpoint(path, state, mask, modifier_tokens, ids1, ids2)
+                save_delta_checkpoint(path, state, mask, modifier_tokens, ids1, ids2,
+                                      save_text_encoder=opt.train_text_encoder)
                 save_resume_checkpoint(os.path.join(opt.output_dir, "resume"), state)
                 print(f"saved {path}")
 
     final_step = int(state.step) // accum
     final = os.path.join(opt.output_dir, f"delta-{final_step}.bin")
-    save_delta_checkpoint(final, state, mask, modifier_tokens, ids1, ids2)
+    save_delta_checkpoint(final, state, mask, modifier_tokens, ids1, ids2,
+                          save_text_encoder=opt.train_text_encoder)
     print(f"saved {final}")
     logger.close()
     return 0

@@ -86,13 +86,22 @@ def save_reference_delta(
     unet_deltas: Dict[Tuple[str, ...], np.ndarray],
     modifier_token: Dict[str, np.ndarray],
     modifier_token_2: Dict[str, np.ndarray],
+    text_encoder: Dict[str, np.ndarray] = None,
+    text_encoder_2: Dict[str, np.ndarray] = None,
 ):
     """Write a delta checkpoint wire-compatible with the reference's
     ``save_checkpoint`` schema (``concept_training/
     diffusers_training_xl_new.py:41-66``): ``torch.save`` of
     ``{'unet': {torch_name: tensor}, 'modifier_token': {...},
     'modifier_token_2': {...}}``. Linear kernels are transposed back to
-    torch's [out, in]; conv kernels to [O, I, kh, kw]."""
+    torch's [out, in]; conv kernels to [O, I, kh, kw].
+
+    ``text_encoder`` (HF torch-named state dict) adds the reference's
+    ``save_text_encoder`` entry (:52-53), loaded by the reference with
+    ``text_encoder.load_state_dict`` (diffusers_model_pipeline_xl_new.py
+    :327-328). ``text_encoder_2`` is our extension for the second SDXL
+    tower (the reference saves/loads only tower 1; it ignores unknown
+    keys, so the file stays loadable there)."""
     import torch
 
     unet = {}
@@ -109,6 +118,10 @@ def save_reference_delta(
         "modifier_token": {k: torch.from_numpy(np.array(v, np.float32, copy=True)) for k, v in modifier_token.items()},
         "modifier_token_2": {k: torch.from_numpy(np.array(v, np.float32, copy=True)) for k, v in modifier_token_2.items()},
     }
+    for key, sd in (("text_encoder", text_encoder), ("text_encoder_2", text_encoder_2)):
+        if sd is not None:
+            st[key] = {k: torch.from_numpy(np.array(v, np.float32, copy=True))
+                       for k, v in sd.items()}
     torch.save(st, path)
 
 
@@ -138,6 +151,15 @@ def load_reference_delta(path: str) -> Dict:
     for coll in ("modifier_token", "modifier_token_2"):
         for tok, emb in st.get(coll, {}).items():
             out[coll][tok] = emb.float().numpy()
+    # --train_text_encoder checkpoints carry full tower state dicts
+    # (reference :52-53 / load at diffusers_model_pipeline_xl_new.py:327-328)
+    for key in ("text_encoder", "text_encoder_2"):
+        if key in st:
+            from tweediemix_tpu.models.convert import convert_clip_state_dict
+
+            out[key] = convert_clip_state_dict(
+                {k: v.float().numpy() for k, v in st[key].items()}
+            )
     return out
 
 

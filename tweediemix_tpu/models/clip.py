@@ -43,6 +43,9 @@ class CLIPTextConfig:
     projection_dim: Optional[int] = None
     eos_token_id: int = 49407
     dtype: jnp.dtype = jnp.float32
+    # rematerialize encoder layers in backward — needed to fit
+    # --train_text_encoder (full-tower grads) in one chip's HBM
+    remat: bool = False
 
     @staticmethod
     def sdxl_text_encoder(**kw) -> "CLIPTextConfig":
@@ -118,12 +121,15 @@ class CLIPEncoderLayer(nn.Module):
 
 
 class CLIPTextModel(nn.Module):
-    """Returns (penultimate_hidden, final_hidden, pooled).
+    """Returns (penultimate_hidden, final_hidden, pooled, penultimate_ln).
 
     ``penultimate_hidden`` is the layer-(N-1) output without the final
     LayerNorm — exactly HF's ``hidden_states[-2]`` used by SDXL.
     ``pooled`` is the final-LN hidden at the EOS position, projected when
     ``projection_dim`` is set (the CLIPTextModelWithProjection behavior).
+    ``penultimate_ln`` is ``final_layer_norm(hidden_states[-2])`` — the
+    ``clip_skip=1`` prompt embedding the I2VGen-XL pipeline defaults to
+    (``video_gen/pipeline_i2vgen_xl.py:505,202-217,268-282``).
     """
 
     config: CLIPTextConfig
@@ -142,12 +148,15 @@ class CLIPTextModel(nn.Module):
         x = tok(input_ids) + pos[:t].astype(cfg.dtype)
 
         mask = jnp.tril(jnp.ones((t, t), bool))[None, None]
+        layer_cls = nn.remat(CLIPEncoderLayer) if cfg.remat else CLIPEncoderLayer
         penultimate = None
         for i in range(cfg.num_layers):
             if i == cfg.num_layers - 1:
                 penultimate = x
-            x = CLIPEncoderLayer(cfg, name=f"layers_{i}")(x, mask)
-        final = nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, name="final_layer_norm")(x)
+            x = layer_cls(cfg, name=f"layers_{i}")(x, mask)
+        ln_final = nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, name="final_layer_norm")
+        final = ln_final(x)
+        penultimate_ln = ln_final(penultimate)
 
         # EOS pooling: first position equal to eos_token_id (HF convention)
         is_eos = (input_ids == cfg.eos_token_id).astype(jnp.int32)
@@ -157,7 +166,7 @@ class CLIPTextModel(nn.Module):
             pooled = nn.Dense(
                 cfg.projection_dim, use_bias=False, dtype=cfg.dtype, name="text_projection"
             )(pooled)
-        return penultimate, final, pooled
+        return penultimate, final, pooled, penultimate_ln
 
 
 @dataclasses.dataclass(frozen=True)
@@ -301,8 +310,8 @@ class DualTextEncoder:
         return cls(cfg1, cfg2, p1, p2)
 
     def _encode_impl(self, params1, params2, ids1, ids2):
-        pen1, _, _ = self.model1.apply({"params": params1}, ids1)
-        pen2, _, pooled2 = self.model2.apply({"params": params2}, ids2)
+        pen1 = self.model1.apply({"params": params1}, ids1)[0]
+        pen2, _, pooled2, _ = self.model2.apply({"params": params2}, ids2)
         ctx = jnp.concatenate([pen1, pen2], axis=-1)
         return ctx, pooled2
 

@@ -121,6 +121,148 @@ def convert_clip_state_dict(sd: Dict[str, np.ndarray], dtype=None) -> Dict:
     return traverse_util.unflatten_dict({k: jnp.asarray(v) for k, v in out.items()})
 
 
+def validate_params_tree(params, shapes_tree, name: str = "model") -> None:
+    """Strict structural check of a converted param tree against
+    ``jax.eval_shape(model.init, ...)["params"]``: no missing paths, no
+    unexpected paths (an unconsumed/bogus source tensor would land here),
+    and exact per-leaf shapes. Raises ValueError listing every problem.
+
+    Used on the real-weights load paths — the strongest offline guard for
+    the converters that cannot be numerically validated in this
+    environment (SDXL UNet / VAE / I2V UNet: diffusers is not installed
+    and real weights are not downloadable)."""
+    got = traverse_util.flatten_dict(params)
+    want = traverse_util.flatten_dict(shapes_tree)
+    problems = []
+    for p in sorted(set(want) - set(got)):
+        problems.append(f"missing: {'/'.join(p)} {tuple(want[p].shape)}")
+    for p in sorted(set(got) - set(want)):
+        problems.append(f"unexpected: {'/'.join(p)} {tuple(np.shape(got[p]))}")
+    for p in sorted(set(got) & set(want)):
+        if tuple(np.shape(got[p])) != tuple(want[p].shape):
+            problems.append(
+                f"shape mismatch: {'/'.join(p)} got {tuple(np.shape(got[p]))} "
+                f"want {tuple(want[p].shape)}")
+    if problems:
+        head = "\n  ".join(problems[:20])
+        more = f"\n  ... and {len(problems) - 20} more" if len(problems) > 20 else ""
+        raise ValueError(
+            f"converted {name} params do not match the model structure "
+            f"({len(problems)} problems):\n  {head}{more}")
+
+
+def _S(shape, dtype=None):
+    import jax.numpy as jnp
+
+    return jax.ShapeDtypeStruct(shape, dtype or jnp.float32)
+
+
+def validate_unet_params(cfg, params) -> None:
+    """Strict check of converted SDXL UNet params against ``cfg``'s init
+    structure (real-weights load guard)."""
+    import jax.numpy as jnp
+
+    from tweediemix_tpu.models.unet2d import UNet2DConditionModel
+
+    model = UNet2DConditionModel(cfg)
+    shapes = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0),
+        _S((1, 16, 16, cfg.in_channels)), _S((), jnp.int32),
+        _S((1, 16, cfg.cross_attention_dim)),
+        _S((1, cfg.pooled_projection_dim)), _S((1, 6)),
+    )["params"]
+    _validate_shapes_only(params, shapes, "sdxl_unet")
+
+
+def validate_vae_params(cfg, params) -> None:
+    from tweediemix_tpu.models.vae import AutoencoderKL
+
+    model = AutoencoderKL(cfg)
+    shapes = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0),
+        _S((1, 32, 32, cfg.in_channels)), jax.random.PRNGKey(1),
+    )["params"]
+    _validate_shapes_only(params, shapes, "vae")
+
+
+def validate_clip_params(cfg, params) -> None:
+    import jax.numpy as jnp
+
+    from tweediemix_tpu.models.clip import CLIPTextModel
+
+    shapes = jax.eval_shape(
+        CLIPTextModel(cfg).init, jax.random.PRNGKey(0), _S((1, 8), jnp.int32)
+    )["params"]
+    _validate_shapes_only(params, shapes, "clip_text")
+
+
+def validate_clip_vision_params(cfg, params) -> None:
+    from tweediemix_tpu.models.clip import CLIPVisionModel
+
+    shapes = jax.eval_shape(
+        CLIPVisionModel(cfg).init, jax.random.PRNGKey(0),
+        _S((1, cfg.image_size, cfg.image_size, 3)),
+    )["params"]
+    _validate_shapes_only(params, shapes, "clip_vision")
+
+
+def validate_unet3d_params(cfg, params) -> None:
+    import jax.numpy as jnp
+
+    from tweediemix_tpu.models.unet3d import UNet3DConditionModel
+
+    model = UNet3DConditionModel(cfg)
+    shapes = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0),
+        _S((1, 2, 16, 16, 4)), _S((), jnp.int32),
+        _S((1, 6, cfg.cross_attention_dim)), _S((1, 2, 16, 16, 4)),
+        _S((1, 1, cfg.cross_attention_dim)), _S(()),
+    )["params"]
+    _validate_shapes_only(params, shapes, "i2v_unet")
+
+
+def _validate_shapes_only(params, shapes_tree, name):
+    validate_params_tree(params, shapes_tree, name)
+
+
+def clip_params_to_hf_state_dict(params) -> Dict[str, np.ndarray]:
+    """Our CLIPTextModel params → HF CLIPTextModel(WithProjection) torch
+    naming/layout — the exact inverse of ``convert_clip_state_dict``.
+
+    Used to write the ``delta_dict['text_encoder']`` entry of
+    ``--train_text_encoder`` checkpoints in the reference's schema
+    (``diffusers_training_xl_new.py:52-53``;
+    ``diffusers_model_pipeline_xl_new.py:327-328`` loads it with
+    ``load_state_dict``)."""
+    flat = traverse_util.flatten_dict(params)
+    out = {}
+    for path, arr in flat.items():
+        arr = np.asarray(arr, np.float32)
+        if path == ("token_embedding", "embedding"):
+            out["text_model.embeddings.token_embedding.weight"] = arr
+        elif path == ("position_embedding",):
+            out["text_model.embeddings.position_embedding.weight"] = arr
+        elif path == ("text_projection", "kernel"):
+            out["text_projection.weight"] = arr.T
+        elif path[0] == "final_layer_norm":
+            leaf = "weight" if path[1] == "scale" else "bias"
+            out[f"text_model.final_layer_norm.{leaf}"] = arr
+        elif path[0].startswith("layers_"):
+            idx = path[0][len("layers_"):]
+            mod, leaf = path[1], path[2]
+            group = "self_attn." if mod.endswith("_proj") else ("mlp." if mod in ("fc1", "fc2") else "")
+            if mod.startswith("layer_norm"):
+                group = ""
+            if leaf == "kernel":
+                leaf, arr = "weight", arr.T
+            elif leaf == "scale":
+                leaf = "weight"
+            out[f"text_model.encoder.layers.{idx}.{group}{mod}.{leaf}"] = arr
+        else:
+            raise KeyError(f"unmapped CLIP param path {path}")
+    return out
+
+
 _SAM_BLOCK = re.compile(r"image_encoder\.blocks\.(\d+)\.")
 _SAM_DEC_LAYER = re.compile(r"mask_decoder\.transformer\.layers\.(\d+)\.")
 

@@ -145,7 +145,7 @@ class TextBoxDetector(nn.Module):
         feats = seq[:, 1:, :] * seq[:, :1, :]
         feats = nn.LayerNorm(epsilon=1e-5, dtype=v.dtype, name="merged_layer_norm")(feats)
 
-        _, _, query = CLIPTextModel(cfg.text, name="text_model")(text_ids)
+        query = CLIPTextModel(cfg.text, name="text_model")(text_ids)[2]
 
         # class head (OwlViTClassPredictionHead)
         img_cls = nn.Dense(cfg.embed_dim, dtype=v.dtype, name="class_head_dense0")(feats)

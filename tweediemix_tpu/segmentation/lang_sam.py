@@ -148,16 +148,38 @@ class HeuristicSegmenter:
 def make_model_segment_fn(lang_sam: LangSAM, seg_concepts: str) -> Callable:
     """Build the fusion-sampler segment_fn: decode-preview image → fg masks
     via detect→segment→rect-expand→blackout→overlap-resolve
-    (text_segment/run_expand.py semantics, pure jnp post-processing)."""
+    (text_segment/run_expand.py semantics, pure jnp post-processing).
+
+    No-detection contract: when no box clears ``box_threshold`` for a
+    concept, the reference crashes (``lang_sam.py:95-106`` → ``masks[0]``
+    IndexError on the empty tensor). Here we instead fall back to the
+    top-scoring box — but loudly: a warning names the concept, and the
+    returned ``segment_fn`` records the miss in its ``no_detections``
+    attribute (list of (concept, top_score) for the most recent call).
+    """
     concepts: List[str] = seg_concepts.split("+")
 
     def predict_best(img, text):
         masks, boxes, scores, valid = lang_sam.predict(img, text)
+        if not bool(jnp.any(valid)):
+            top = float(scores[0])
+            segment_fn.no_detections.append((text, top))
+            import warnings
+
+            warnings.warn(
+                f"segmentation: no box cleared box_threshold="
+                f"{lang_sam.box_threshold} for concept {text!r} "
+                f"(top score {top:.4f}); falling back to the top-scoring "
+                f"box (the reference crashes here)",
+                stacklevel=2,
+            )
         best = jnp.argmax(jnp.where(valid, scores, -jnp.inf))
         return masks[best].astype(jnp.float32)
 
     def segment_fn(preview_image: jnp.ndarray) -> jnp.ndarray:
+        segment_fn.no_detections = []
         img = preview_image[0] if preview_image.ndim == 4 else preview_image
         return expand_masks(predict_best, img, concepts)
 
+    segment_fn.no_detections = []
     return segment_fn

@@ -42,11 +42,21 @@ class FullTrainState(flax.struct.PyTreeNode):
     opt_state: object
 
 
-def full_trainable_mask(params, freeze_model: str, train_text_embeddings: bool):
+def full_trainable_mask(params, freeze_model: str, train_text_embeddings: bool,
+                        train_text_encoder: bool = False):
+    """Trainable-leaf mask over {"unet","te1","te2"}.
+
+    ``train_text_encoder`` marks BOTH text towers fully trainable (the
+    reference's ``--train_text_encoder``,
+    ``diffusers_training_xl_new.py:301,865-869``); otherwise only the
+    token-embedding tables are trainable (and only when modifier tokens
+    are in play — their non-modifier rows are grad-masked in the step)."""
     unet_mask = trainable_mask(params["unet"], freeze_model)
 
     def te_mask(p):
         flat = traverse_util.flatten_dict(p)
+        if train_text_encoder:
+            return traverse_util.unflatten_dict({k: True for k in flat})
         return traverse_util.unflatten_dict(
             {k: (train_text_embeddings and k == ("token_embedding", "embedding")) for k in flat}
         )
@@ -142,8 +152,8 @@ def make_full_train_step(
     its leaves and ``state.opt_state`` covers only them."""
 
     def loss_fn(params, batch, rng):
-        pen1, _, _ = te1_model.apply({"params": params["te1"]}, batch["ids_one"])
-        pen2, _, pooled = te2_model.apply({"params": params["te2"]}, batch["ids_two"])
+        pen1 = te1_model.apply({"params": params["te1"]}, batch["ids_one"])[0]
+        pen2, _, pooled, _ = te2_model.apply({"params": params["te2"]}, batch["ids_two"])
         ctx = jnp.concatenate([pen1, pen2], axis=-1)
 
         latents = batch["latents"]
@@ -237,12 +247,23 @@ def save_delta_checkpoint(
     modifier_tokens,
     modifier_ids_1,
     modifier_ids_2,
+    save_text_encoder: bool = False,
 ):
+    """``save_text_encoder`` adds the full text-tower state dicts (the
+    reference's ``save_checkpoint(save_text_encoder=...)`` branch,
+    diffusers_training_xl_new.py:52-53) — set with --train_text_encoder."""
     unet_delta, tok1, tok2 = extract_delta(
         state.params["unet"], mask_tree["unet"], state.params["te1"],
         state.params["te2"], modifier_tokens, modifier_ids_1, modifier_ids_2,
     )
-    save_reference_delta(path, unet_delta, tok1, tok2)
+    te_sd = te2_sd = None
+    if save_text_encoder:
+        from tweediemix_tpu.models.convert import clip_params_to_hf_state_dict
+
+        te_sd = clip_params_to_hf_state_dict(state.params["te1"])
+        te2_sd = clip_params_to_hf_state_dict(state.params["te2"])
+    save_reference_delta(path, unet_delta, tok1, tok2,
+                         text_encoder=te_sd, text_encoder_2=te2_sd)
 
 
 def save_resume_checkpoint(ckpt_dir: str, state: FullTrainState):
