@@ -102,6 +102,13 @@ def main():
     def kv_builder(params, ctx_rows, idx):
         return precompute_cross_kv(ucfg, params, ctx_rows, idx)
 
+    # TWEEDIEMIX_BENCH_KV=0 drops the per-phase cross-attention K/V cache
+    # (~0.5 ms/step benefit) to free its HBM for larger serving batches
+    import os as _os
+
+    if not int(_os.environ.get("TWEEDIEMIX_BENCH_KV", "1")):
+        kv_builder = None
+
     def rows(k, n):
         return (
             0.1 * jax.random.normal(k, (n, ctx_len, ctx_dim), jnp.float32),

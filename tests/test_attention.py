@@ -22,10 +22,12 @@ def xla_attention(q, k, v, scale):
     "bh,sq,sk,dh",
     [
         (2, 256, 256, 64),  # self-attn, block-divisible
-        (3, 512, 512, 128),
+        (3, 512, 512, 128),  # l-scratch denominator path (dh % 128 == 0)
         (2, 300, 300, 64),  # non-divisible q and kv (padding + mask)
         (2, 256, 77, 64),  # cross-attn with 77-token kv
         (1, 128, 1024, 64),  # more kv blocks than q blocks
+        (2, 256, 77, 128),  # l-scratch path + kv mask
+        (1, 256, 256, 256),  # l-scratch path at dh=256
     ],
 )
 def test_flash_matches_xla(bh, sq, sk, dh):

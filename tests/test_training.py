@@ -272,9 +272,12 @@ def test_delta_checkpoint_roundtrip(tmp_path):
     assert back["modifier_token_2"]["<new1>"].shape == (6,)
 
 
-def test_train_then_sample_cli_end_to_end(tmp_path, image_dirs):
+@pytest.mark.parametrize("train_text_encoder", [False, True])
+def test_train_then_sample_cli_end_to_end(tmp_path, image_dirs, train_text_encoder):
     """Full product circle: tiny training writes a delta checkpoint that the
-    fusion sampling CLI consumes."""
+    fusion sampling CLI consumes. The --train_text_encoder variant checks
+    the whole-tower checkpoint entries load through the sampling side
+    (reference load_model's load_state_dict path)."""
     from PIL import Image
 
     from tweediemix_tpu.cli.fusion_sampling import main as sample_main
@@ -296,7 +299,7 @@ def test_train_then_sample_cli_end_to_end(tmp_path, image_dirs):
         "--output_dir", str(out),
         "--learning_rate", "1e-4",
         "--dp_devices", "1",  # keep the 1-core-CPU smoke run small
-    ])
+    ] + (["--train_text_encoder"] if train_text_encoder else []))
     assert rc == 0
     ckpts = sorted(out.glob("delta-*.bin"))
     assert ckpts, list(out.iterdir())

@@ -269,3 +269,13 @@ def test_batched_clips_match_single_runs():
     np.testing.assert_allclose(
         np.asarray(batched[0]), np.asarray(single0), atol=2e-5, rtol=1e-5
     )
+    # and clip 1 reproduces at a different batch size (3-clip run, rows
+    # 1/2 duplicated): both the init latents AND the VAE posterior noise
+    # are per-row keyed, so no clip's stream depends on the batch size
+    ctx3 = jnp.concatenate([ctx, ctx[1:]], 0)
+    imgs3 = jnp.concatenate([imgs, imgs[1:]], 0)
+    emb3 = jnp.concatenate([emb, emb[1:]], 0)
+    batched3 = pipe.generate(ctx3, uctx, imgs3, emb3, seed=5)
+    np.testing.assert_allclose(
+        np.asarray(batched3[1]), np.asarray(batched[1]), atol=2e-5, rtol=1e-5
+    )

@@ -23,6 +23,9 @@ def main():
                          "the cli/train.py AMP configuration)")
     ap.add_argument("--use-8bit-adam", action="store_true",
                     help="int8 blockwise Adam moment state")
+    ap.add_argument("--train-text-encoder", action="store_true",
+                    help="train both full text towers (remat on the CLIP "
+                         "layers as in cli/train.py)")
     ap.add_argument("--batch", type=int, default=2)
     ap.add_argument("--res", type=int, default=512)
     args = ap.parse_args()
@@ -46,8 +49,9 @@ def main():
     remat = not args.no_remat
     b = args.batch
     h = args.res // 8
-    c1 = CLIPTextConfig.sdxl_text_encoder(dtype=jnp.bfloat16)
-    c2 = CLIPTextConfig.sdxl_text_encoder_2(dtype=jnp.bfloat16)
+    te_remat = args.train_text_encoder and remat
+    c1 = CLIPTextConfig.sdxl_text_encoder(dtype=jnp.bfloat16, remat=te_remat)
+    c2 = CLIPTextConfig.sdxl_text_encoder_2(dtype=jnp.bfloat16, remat=te_remat)
     ucfg = UNetConfig.sdxl(dtype=jnp.bfloat16, detach_first_token_kv=True, remat=remat)
     unet = UNet2DConditionModel(ucfg)
     te1, te2 = CLIPTextModel(c1), CLIPTextModel(c2)
@@ -86,7 +90,8 @@ def main():
 
     tcfg = TrainConfig(learning_rate=1e-5, with_prior_preservation=True,
                        use_8bit_adam=args.use_8bit_adam)
-    mask = full_trainable_mask(params, "crossattn_kv", True)
+    mask = full_trainable_mask(params, "crossattn_kv", True,
+                               train_text_encoder=args.train_text_encoder)
     if not args.bf16_master:
         from tweediemix_tpu.training.trainer import promote_trainable_to_fp32
 
@@ -150,6 +155,7 @@ def main():
     except Exception as e:
         print("memory_stats unavailable:", e)
     print(f"RESULT remat={remat} batch={b} res={args.res} "
+          f"train_text_encoder={args.train_text_encoder} "
           f"step_ms={dt*1000:.0f} loss={float(metrics['loss']):.4f}")
 
 

@@ -94,6 +94,22 @@ class TweedieMixPipeline:
         ``load_reference_delta``) into stacked UNet params and modifier
         token embeddings (fusion_sampling.py:156-210)."""
         n = len(checkpoints)
+        # --train_text_encoder checkpoints carry whole text-tower state
+        # dicts; the reference loads them with load_state_dict before the
+        # modifier-token surgery (diffusers_model_pipeline_xl_new.py:
+        # 327-328) — sequential loads mean the last one wins
+        te_sts = [st for st in checkpoints if "text_encoder" in st]
+        if te_sts:
+            if len(te_sts) > 1:
+                import warnings
+
+                warnings.warn(
+                    f"{len(te_sts)} concept checkpoints carry full "
+                    f"text-encoder weights; applying the last (the "
+                    f"reference's sequential load_state_dict behavior)")
+            st_te = te_sts[-1]
+            text.load_tower_state(st_te.get("text_encoder"),
+                                  st_te.get("text_encoder_2"))
         # modifier tokens → both tokenizers + embedding rows
         ids1, ids2, rows1, rows2 = [], [], [], []
         for tok, st in zip(modifier_tokens, checkpoints):

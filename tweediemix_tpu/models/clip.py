@@ -253,7 +253,8 @@ def resize_token_embeddings(params, new_vocab_size: int, rng=None):
     key = ("token_embedding", "embedding")
     emb = np.asarray(flat[key])
     old, d = emb.shape
-    assert new_vocab_size >= old
+    # a table that is already large enough (e.g. a --train_text_encoder
+    # tower whose saved table includes its modifier rows) is left as-is
     if new_vocab_size > old:
         if rng is not None:
             extra = 0.01 * np.asarray(
@@ -318,6 +319,26 @@ class DualTextEncoder:
     def encode_ids(self, ids1: jnp.ndarray, ids2: jnp.ndarray):
         """[B,77] token ids per tokenizer → (ctx [B,77,d1+d2], pooled [B,proj2])."""
         return self._encode(self.params1, self.params2, ids1, ids2)
+
+    def load_tower_state(self, params1=None, params2=None):
+        """Replace whole tower param trees — the ``--train_text_encoder``
+        checkpoint's ``text_encoder``/``text_encoder_2`` entries
+        (reference ``load_model``:
+        ``diffusers_model_pipeline_xl_new.py:327-328`` does
+        ``load_state_dict`` on tower 1). Rebuilds each model at the loaded
+        vocab size (the saved table may already contain modifier rows)."""
+        for attr_p, attr_m, params in (
+            ("params1", "model1", params1), ("params2", "model2", params2)
+        ):
+            if params is None:
+                continue
+            setattr(self, attr_p, params)
+            vocab = traverse_util.flatten_dict(params)[
+                ("token_embedding", "embedding")].shape[0]
+            model = getattr(self, attr_m)
+            setattr(self, attr_m, CLIPTextModel(
+                dataclasses.replace(model.config, vocab_size=vocab)))
+        self._encode = jax.jit(self._encode_impl)
 
     def add_modifier_tokens(self, token_ids_1, embeds_1, token_ids_2, embeds_2):
         """Resize both towers' embedding tables and set the modifier rows.

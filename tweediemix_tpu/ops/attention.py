@@ -134,7 +134,11 @@ def attention(
         return _flash(q, k, v, scale, block_q, block_k, g)
     score_bytes = 4 * q.shape[0] * q.shape[1] * k.shape[1]
     if score_bytes > _XLA_SCORE_BYTES_CAP:
-        chunk = max(128, _XLA_SCORE_BYTES_CAP // (4 * q.shape[0] * k.shape[1]))
+        # no floor: for extreme BH*Sk a single query row is the smallest
+        # materialization unit, keeping the cap a hard bound (chunks below
+        # 8 sublanes waste VPU lanes, but correctness beats speed in this
+        # last-resort fallback)
+        chunk = max(1, _XLA_SCORE_BYTES_CAP // (4 * q.shape[0] * k.shape[1]))
         chunk = min(chunk, q.shape[1])
         return _xla_attention_chunked(q, k, v, scale, chunk)
     return _xla_attention(q, k, v, scale)

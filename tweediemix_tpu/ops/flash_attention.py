@@ -14,7 +14,9 @@ only an optional kv-length mask for shapes padded up to the block size.
 Two measured-on-v5e tricks:
 * the softmax denominator rides the p@v matmul in a ones-column of v —
   at dh=64 those MXU output lanes are idle anyway, and the VPU row-sum
-  pass over the score tile disappears;
+  pass over the score tile disappears (gated on dh % 128 != 0: at
+  dh=128/256 the column would cost an extra output tile per p@v, so
+  those head dims keep a VPU row-sum in m-scratch instead);
 * ``head_block`` heads are processed per grid step (batched dot_general),
   amortizing per-step scratch init/DMA overhead — worth 6-12% at SDXL
   shapes (tools/bench_attention.py).
@@ -36,14 +38,17 @@ def _flash_kernel(
     kv_len_ref,  # SMEM (1,1) int32: true kv length (<= padded Sk)
     q_ref,  # VMEM [G, block_q, dh]
     k_ref,  # VMEM [G, block_k, dh]
-    v_ref,  # VMEM [G, block_k, dh_acc] — v widened with a ones-column at dh
+    v_ref,  # VMEM [G, block_k, dh_acc] — ones-column at dh when use_ones_col
     o_ref,  # VMEM [G, block_q, dh]
-    m_scr,  # VMEM [G, block_q, 128] fp32 running max (column 0)
-    acc_scr,  # VMEM [G, block_q, dh_acc] fp32 accumulator (column dh = denom)
+    m_scr,  # VMEM [G, block_q, 128] fp32: col 0 = running max, col 1 =
+    #       running denominator (l-scratch path only)
+    acc_scr,  # VMEM [G, block_q, dh_acc] fp32 accumulator (column dh =
+    #         denom when use_ones_col)
     *,
     block_k: int,
     dh: int,
     needs_mask: bool,
+    use_ones_col: bool,
 ):
     kv_idx = pl.program_id(2)
     num_kv = pl.num_programs(2)
@@ -51,6 +56,7 @@ def _flash_kernel(
     @pl.when(kv_idx == 0)
     def _init():
         m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        m_scr[:, :, 1:2] = jnp.zeros_like(m_scr[:, :, 1:2])
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
     # scale folded into q in log2 domain (q pre-scaled by scale*log2(e) on
@@ -76,10 +82,16 @@ def _flash_kernel(
     corr = jnp.exp2(m_prev - m_new)
     m_scr[:, :, :1] = m_new
 
-    # v carries a ones-column at index dh, so this single MXU pass yields
-    # both p@v and the row-sum of p (the softmax denominator) in column dh —
-    # at dh=64 those output lanes are free on the 128-lane MXU, and the
-    # separate VPU sum pass over the score tile disappears.
+    if not use_ones_col:
+        # dh is a multiple of 128: a ones-column would add a whole extra
+        # output tile to every p@v pass, so the denominator is a VPU
+        # row-sum kept in m-scratch column 1 instead
+        m_scr[:, :, 1:2] = m_scr[:, :, 1:2] * corr + jnp.sum(p, axis=2, keepdims=True)
+
+    # with use_ones_col, v carries a ones-column at index dh, so this single
+    # MXU pass yields both p@v and the row-sum of p (the softmax
+    # denominator) in column dh — at dh=64 those output lanes are free on
+    # the 128-lane MXU, and the separate VPU sum pass disappears.
     pv = jax.lax.dot_general(
         p.astype(v_ref.dtype),
         v_ref[:],
@@ -90,7 +102,11 @@ def _flash_kernel(
 
     @pl.when(kv_idx == num_kv - 1)
     def _finish():
-        denom = jnp.maximum(acc_scr[:, :, dh : dh + 1], 1e-30)
+        if use_ones_col:
+            denom = acc_scr[:, :, dh : dh + 1]
+        else:
+            denom = m_scr[:, :, 1:2]
+        denom = jnp.maximum(denom, 1e-30)
         o_ref[:] = (acc_scr[:, :, :dh] / denom).astype(o_ref.dtype)
 
 
@@ -136,6 +152,24 @@ def flash_attention(
     g = head_block if bh % head_block == 0 else 1
     block_q = min(block_q, _round_up(sq, 128))
     block_k = min(block_k, _round_up(sk, 128))
+
+    # VMEM guard: shrink blocks until the kernel's working set fits the
+    # ~16 MB scoped VMEM (the score tile is fp32 block_q×block_k per head;
+    # large dh inflates the q/k/v/acc tiles — 1024×1024 blocks at dh=256
+    # overflow). Halve block_q first (keeps kv-streaming granularity),
+    # then block_k.
+    def _vmem_est(bq, bk, grp):
+        dh_a = _round_up(dh + 1, 128)
+        per_head = (
+            2 * (bq * dh + bk * dh + bk * dh_a + bq * dh)  # q,k,v,o bf16
+            + 4 * (bq * bk + bq * 128 + bq * dh_a)  # p, m, acc fp32
+        )
+        return 2 * grp * per_head  # ×2 for input double-buffering
+
+    while _vmem_est(block_q, block_k, g) > 12 * 2**20 and block_q > 128:
+        block_q //= 2
+    while _vmem_est(block_q, block_k, g) > 12 * 2**20 and block_k > 128:
+        block_k //= 2
     sq_p = _round_up(sq, block_q)
     sk_p = _round_up(sk, block_k)
 
@@ -146,20 +180,29 @@ def flash_attention(
         k = jnp.pad(k, ((0, 0), (0, sk_p - sk), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, sk_p - sk), (0, 0)))
 
-    # widen v to the 128-lane tile and plant a ones-column at index dh: the
-    # p@v matmul then produces the softmax denominator in that column using
-    # MXU output lanes that dh=64 leaves idle anyway (see kernel). Padding
-    # kv rows keep a zero there — their p is already 0 via the NEG_INF mask.
-    dh_acc = _round_up(dh + 1, 128)
-    ones_col = jnp.zeros((bh, sk_p, dh_acc - dh), v.dtype)
-    ones_col = ones_col.at[:, :sk, 0].set(1.0)
-    v = jnp.concatenate([v, ones_col], axis=-1)
+    # ones-column trick only when the extra column is lane-free: at dh=64
+    # the accumulator rounds up to 128 lanes anyway, so planting a
+    # ones-column at index dh makes the p@v matmul emit the softmax
+    # denominator for free. When dh is already a multiple of 128 (128/256
+    # heads) the column would cost a whole extra output tile per p@v, so
+    # the kernel keeps the denominator in m-scratch via a VPU row-sum
+    # instead. Padding kv rows keep a zero ones-column — their p is
+    # already 0 via the NEG_INF mask.
+    use_ones_col = _round_up(dh + 1, 128) == _round_up(dh, 128)
+    if use_ones_col:
+        dh_acc = _round_up(dh + 1, 128)
+        ones_col = jnp.zeros((bh, sk_p, dh_acc - dh), v.dtype)
+        ones_col = ones_col.at[:, :sk, 0].set(1.0)
+        v = jnp.concatenate([v, ones_col], axis=-1)
+    else:
+        dh_acc = dh
 
     kv_len = jnp.array([[sk]], dtype=jnp.int32)
 
     grid = (bh // g, sq_p // block_q, sk_p // block_k)
     kernel = functools.partial(
-        _flash_kernel, block_k=block_k, dh=dh, needs_mask=needs_mask
+        _flash_kernel, block_k=block_k, dh=dh, needs_mask=needs_mask,
+        use_ones_col=use_ones_col,
     )
 
     out = pl.pallas_call(

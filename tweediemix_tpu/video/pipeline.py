@@ -111,11 +111,23 @@ class I2VPipeline:
         return jnp.concatenate(frames, axis=1)
 
     def encode_first_frame(self, image: jnp.ndarray, rng) -> jnp.ndarray:
-        """[B, H, W, 3] in [-1, 1] → scaled latent [B, h, w, 4]."""
+        """[B, H, W, 3] in [-1, 1] → scaled latent [B, h, w, 4].
+
+        The VAE posterior noise is drawn per row (row 0 from ``rng``, row
+        b from ``fold_in(rng, 1000 + b)`` — the same convention as the
+        init latents), so every clip's noise stream is invariant to the
+        batch size it is generated at."""
         mean, logvar = self.vae.apply(
             {"params": self.vae_params}, image, method=self.vae.encode
         )
-        z = mean + jnp.exp(0.5 * logvar) * jax.random.normal(rng, mean.shape)
+        noise = jnp.stack([
+            jax.random.normal(
+                rng if bi == 0 else jax.random.fold_in(rng, 1000 + bi),
+                mean.shape[1:], jnp.float32,
+            )
+            for bi in range(mean.shape[0])
+        ])
+        z = mean + jnp.exp(0.5 * logvar) * noise
         return scale_latents(z, self.vae.config)
 
     # -- sampling ---------------------------------------------------------------
