@@ -97,3 +97,44 @@ def test_row_padded_single_seed_latency_sharding():
     with mesh:
         got = sharded.run(embeds, key, fg_masks=fg, num_seeds=1)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)
+
+
+@requires_8
+def test_video_clip_sharded_matches_single_device():
+    """Batched video clips sharded over the 8-device dp mesh (interleaved
+    CFG-pair rows, params replicated) must equal the single-device run."""
+    from tweediemix_tpu.models.unet3d import UNet3DConditionModel, UNet3DConfig
+    from tweediemix_tpu.models.vae import AutoencoderKL, VAEConfig
+    from tweediemix_tpu.video.pipeline import I2VPipeline, VideoConfig
+
+    vcfg = VideoConfig(num_frames=2, height=16, width=16, n_timesteps=2,
+                       latent_factor=2)
+    ucfg = UNet3DConfig.tiny()
+    unet = UNet3DConditionModel(ucfg)
+    vae = AutoencoderKL(VAEConfig.tiny())
+    key = jax.random.PRNGKey(0)
+    h, w = vcfg.latent_hw
+    uparams = jax.jit(unet.init)(
+        key, jnp.zeros((2, vcfg.num_frames, h, w, 4)), jnp.int32(1),
+        jnp.zeros((2, 8, ucfg.cross_attention_dim)),
+        jnp.zeros((2, vcfg.num_frames, h, w, 4)),
+        jnp.zeros((2, 1, ucfg.cross_attention_dim)),
+        jnp.full((2,), 8.0), jnp.float32(1), jnp.float32(1), 0.7,
+    )["params"]
+    vparams = jax.jit(vae.init)(
+        jax.random.fold_in(key, 1), jnp.zeros((1, 16, 16, 3)),
+        jax.random.PRNGKey(1),
+    )["params"]
+    pipe = I2VPipeline(vcfg, unet, uparams, vae, vparams)
+
+    b = 8
+    ctx = 0.1 * jax.random.normal(key, (b, 8, ucfg.cross_attention_dim))
+    uctx = jnp.zeros((1, 8, ucfg.cross_attention_dim))
+    imgs = jax.random.uniform(jax.random.fold_in(key, 2), (b, 16, 16, 3)) * 2 - 1
+    emb = 0.1 * jax.random.normal(jax.random.fold_in(key, 3),
+                                  (b, 1, ucfg.cross_attention_dim))
+
+    want = pipe.generate(ctx, uctx, imgs, emb, seed=7)
+    got = pipe.generate(ctx, uctx, imgs, emb, seed=7, mesh_devices=8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)

@@ -48,6 +48,18 @@ def main():
     print(f"{'op':60s} {'ms':>10s} {'%':>6s} {'n':>6s}")
     for op, dur in by_op.most_common(top_n):
         print(f"{op[:60]:60s} {dur/1e3:10.1f} {100*dur/total:6.1f} {counts[op]:6d}")
+
+    # copy/transpose bucket breakdown — the memory-bound tail that is the
+    # usual optimization target once matmul/conv run near peak
+    copy_re = re.compile(r"copy|transpose|bitcast|concatenate|dynamic-slice|"
+                         r"dynamic_slice|dynamic-update|reshape|slice|pad|gather",
+                         re.IGNORECASE)
+    copies = {op: d for op, d in by_op.items() if copy_re.search(op)}
+    csum = sum(copies.values())
+    print(f"\ncopy/data-movement bucket: {csum/1e3:.1f} ms "
+          f"({100*csum/max(total,1):.1f}% of device time)")
+    for op, dur in sorted(copies.items(), key=lambda kv: -kv[1])[:15]:
+        print(f"  {op[:58]:58s} {dur/1e3:10.1f} {counts[op]:6d}")
     return 0
 
 

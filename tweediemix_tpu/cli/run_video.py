@@ -36,6 +36,9 @@ def build_parser():
                    help="clips sampled in parallel from the same conditioning "
                         "image (batched serving; seed b folds in its index). "
                         "Outputs <output>_b.gif per extra clip.")
+    p.add_argument("--mesh_devices", type=int, default=1,
+                   help="shard the clip rows of every forward over this many "
+                        "devices (1-D dp mesh; requires num_seeds % n == 0)")
     return p
 
 
@@ -160,7 +163,8 @@ def main(argv=None) -> int:
 
     b = opt.num_seeds
     arr_b = jnp.repeat(arr, b, axis=0) if b > 1 else arr
-    video = pipe.generate(ctx_c, ctx_u, arr_b, img_emb, seed=opt.seed)
+    video = pipe.generate(ctx_c, ctx_u, arr_b, img_emb, seed=opt.seed,
+                          mesh_devices=opt.mesh_devices)
     os.makedirs(os.path.dirname(os.path.abspath(opt.output)), exist_ok=True)
     if b == 1:
         export_gif(video, opt.output, fps=opt.fps)

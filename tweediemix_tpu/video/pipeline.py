@@ -133,6 +133,10 @@ class I2VPipeline:
     # -- sampling ---------------------------------------------------------------
 
     def _loop(self, unet_params, x, ctx2, image_latents2, image_emb2, fps2):
+        """Rows are CLIP-INTERLEAVED: row 2i = uncond clip i, row 2i+1 =
+        cond clip i — so a dp-mesh sharding of the row axis keeps each
+        clip's CFG pair on one device (no cross-device resharding in the
+        combine)."""
         cfg = self.config
         tbl = self.table
         k = cfg.injection_steps
@@ -142,12 +146,13 @@ class I2VPipeline:
         def step(x, inp):
             t, inj = inp
             b = x.shape[0]
-            xin = jnp.concatenate([x, x], axis=0)
+            xin = jnp.repeat(x, 2, axis=0)  # [2b] interleaved
             eps = self.unet.apply(
                 {"params": unet_params}, xin, t, ctx2, image_latents2, image_emb2,
                 fps2, inj, inj, cfg.interp_ratio,
             )
-            e = cfg_combine(eps[:b], eps[b:], cfg.guidance_scale)
+            er = eps.reshape(b, 2, *eps.shape[1:])
+            e = cfg_combine(er[:, 0], er[:, 1], cfg.guidance_scale)
             at, at_next = tbl.alpha(t), tbl.alpha(t - tbl.skip)
             return video_rotation_step(x, e, at, at_next), None
 
@@ -161,15 +166,21 @@ class I2VPipeline:
         image: jnp.ndarray,  # [B, H, W, 3] in [-1, 1]
         image_embedding: jnp.ndarray,  # [1 or B, 1, D] CLIP image embed
         seed: int = 0,
+        mesh_devices: int = 1,
     ) -> jnp.ndarray:
         """Returns decoded video [F, H, W, 3] (B=1) or [B, F, H, W, 3].
 
         B > 1 batches independent clips through every forward (the
         BASELINE "seeds in parallel" serving layout applied to the video
-        stage): row layout [uncond×B, cond×B], per-clip noise from
-        ``fold_in(key, clip)`` so clip b is reproducible at any batch size.
-        Shared ([1, ...]) prompt/image-embed rows broadcast across clips;
-        pass [B, ...] rows for per-clip prompts (multi-prompt serving).
+        stage): per-clip noise from ``fold_in(key, clip)`` so clip b is
+        reproducible at any batch size. Shared ([1, ...]) prompt/
+        image-embed rows broadcast across clips; pass [B, ...] rows for
+        per-clip prompts (multi-prompt serving).
+
+        ``mesh_devices`` > 1 shards the clip rows of every forward over a
+        1-D dp mesh (params replicated; the interleaved row layout keeps
+        each clip's CFG pair device-local, so the loop runs without
+        cross-device resharding). Requires B % mesh_devices == 0.
         """
         cfg = self.config
         b = image.shape[0]
@@ -188,18 +199,51 @@ class I2VPipeline:
         def rows(a):
             return a if a.shape[0] == b else jnp.repeat(a, b, axis=0)
 
+        def interleave(uncond_rows, cond_rows):
+            # row 2i = uncond clip i, row 2i+1 = cond clip i (see _loop)
+            return jnp.stack([uncond_rows, cond_rows], axis=1).reshape(
+                2 * b, *uncond_rows.shape[1:])
+
         frame0 = self.encode_first_frame(image, jax.random.fold_in(key, 1))
         img_lat = self.prepare_image_latents(frame0)
-        img_lat2 = jnp.concatenate([img_lat, img_lat], axis=0)
-        ctx2 = jnp.concatenate([rows(uncond_ctx), rows(text_ctx)], axis=0)
+        img_lat2 = interleave(img_lat, img_lat)
+        ctx2 = interleave(rows(uncond_ctx), rows(text_ctx))
         # uncond row gets a zero image embedding (reference :326-330)
         emb = rows(image_embedding)
-        img_emb2 = jnp.concatenate([jnp.zeros_like(emb), emb], axis=0)
+        img_emb2 = interleave(jnp.zeros_like(emb), emb)
         fps2 = jnp.full((2 * b,), cfg.fps, jnp.float32)
 
-        x = self._jit_loop(self.unet_params, x, ctx2, img_lat2, img_emb2, fps2)
+        loop = self._jit_loop
+        params = self.unet_params
+        if mesh_devices > 1:
+            assert b % mesh_devices == 0, (
+                f"clip batch {b} must divide over {mesh_devices} devices")
+            loop, params = self._sharded_loop(mesh_devices)
+        x = loop(params, x, ctx2, img_lat2, img_emb2, fps2)
         out = self.decode_video(x)
         return out[0] if b == 1 else out
+
+    def _sharded_loop(self, mesh_devices: int):
+        """jit of _loop with clip rows sharded over a 1-D dp mesh and
+        params replicated (cached per device count)."""
+        cache = getattr(self, "_sharded_cache", {})
+        if mesh_devices not in cache:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from tweediemix_tpu.parallel.mesh import make_mesh, replicate
+
+            mesh = make_mesh({"dp": mesh_devices},
+                             devices=jax.devices()[:mesh_devices])
+            rep = NamedSharding(mesh, P())
+            row = NamedSharding(mesh, P("dp"))
+            loop = jax.jit(
+                self._loop,
+                in_shardings=(rep, row, row, row, row, row),
+                out_shardings=row,
+            )
+            cache[mesh_devices] = (loop, replicate(mesh, self.unet_params))
+            self._sharded_cache = cache
+        return cache[mesh_devices]
 
     def decode_video(self, latents: jnp.ndarray) -> jnp.ndarray:
         """[B, F, h, w, 4] → [B, F, H, W, 3], chunked per frame (reference
