@@ -53,6 +53,47 @@ def test_unet3d_forward(tiny_unet3d):
     assert bool(jnp.all(jnp.isfinite(out)))
 
 
+def test_unet3d_precomputed_cache_matches_full_forward(tiny_unet3d):
+    """precompute_video_cache (hoisted ctx/il/cross-KV) must be a pure
+    refactor of the per-step forward: identical eps for identical inputs."""
+    from tweediemix_tpu.models.unet3d import precompute_video_cache
+
+    cfg, model, params, (sample, ctx, img_lat, img_emb) = tiny_unet3d
+    fps = jnp.float32(8.0)
+    t = jnp.int32(501)
+    full = model.apply({"params": params}, sample, t, ctx, img_lat, img_emb,
+                       fps, 0.3, 0.4, 0.7)
+    cached_ctx, cached_il, cross_kv = precompute_video_cache(
+        model, params, ctx, img_lat, img_emb, fps)
+    cached = model.apply({"params": params}, sample, t, ctx, img_lat, img_emb,
+                         fps, 0.3, 0.4, 0.7, cached_ctx=cached_ctx,
+                         cached_il=cached_il, cross_kv=cross_kv)
+    np.testing.assert_allclose(np.asarray(cached), np.asarray(full),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_decode_chunk_size_invariance():
+    """decode_video must give identical pixels at any decode_chunk_size
+    (incl. a non-divisor request, which rounds down to a divisor)."""
+    from tweediemix_tpu.models.vae import AutoencoderKL, VAEConfig
+    from tweediemix_tpu.video.pipeline import I2VPipeline
+
+    vcfg = VAEConfig.tiny()
+    vae = AutoencoderKL(vcfg)
+    key = jax.random.PRNGKey(0)
+    vparams = vae.init(key, jnp.zeros((1, 16, 16, 3)), jax.random.PRNGKey(1))["params"]
+    lat = 0.3 * jax.random.normal(key, (1, 4, 8, 8, 4))
+
+    outs = []
+    for chunk in (1, 2, 3, 4):
+        cfg = VideoConfig(num_frames=4, height=16, width=16, latent_factor=2,
+                          decode_chunk_size=chunk)
+        pipe = I2VPipeline(cfg, None, None, vae, vparams)
+        outs.append(np.asarray(pipe.decode_video(lat)))
+    for o in outs[1:]:
+        np.testing.assert_allclose(o, outs[0], rtol=1e-5, atol=1e-6)
+
+
 def test_unet3d_injection_flags_change_output(tiny_unet3d):
     cfg, model, params, (sample, ctx, img_lat, img_emb) = tiny_unet3d
     f = jax.jit(

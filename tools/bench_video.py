@@ -25,11 +25,15 @@ def measure() -> dict:
     from tweediemix_tpu.models.vae import AutoencoderKL, VAEConfig
     from tweediemix_tpu.video.pipeline import I2VPipeline, VideoConfig
 
+    import os
+
     on_tpu = jax.default_backend() == "tpu"
+    decode_chunk = int(os.environ.get("TWEEDIEMIX_BENCH_DECODE_CHUNK", "1"))
     if on_tpu:
         ucfg = UNet3DConfig.i2vgen(dtype=jnp.bfloat16)
         vcfg = VAEConfig(scaling_factor=0.18215)
-        vid = VideoConfig()  # 50 steps, 512px, 16 frames, fps 8, guidance 9
+        # 50 steps, 512px, 16 frames, fps 8, guidance 9
+        vid = VideoConfig(decode_chunk_size=decode_chunk)
         ctx_len = 77
     else:
         ucfg = UNet3DConfig.tiny()

@@ -30,6 +30,10 @@ def build_parser():
     p.add_argument("--guidance_scale", type=float, default=9.0)
     p.add_argument("--injection_timestep", type=float, default=0.02)
     p.add_argument("--interp_ratio", type=float, default=0.7)
+    p.add_argument("--decode_chunk_size", type=int, default=1,
+                   help="frames decoded per VAE call (reference run_video.py "
+                        "decode chunk 1; larger values trade decode memory "
+                        "for fewer, better-utilized conv dispatches)")
     p.add_argument("--model_dir", type=str, default=None)
     p.add_argument("--model_preset", type=str, default=None, choices=[None, "tiny"])
     p.add_argument("--num_seeds", type=int, default=1,
@@ -135,7 +139,7 @@ def main(argv=None) -> int:
         n_timesteps=opt.n_timesteps, guidance_scale=opt.guidance_scale,
         num_frames=f, height=opt.height, width=opt.width, fps=opt.fps,
         injection_timestep=opt.injection_timestep, interp_ratio=opt.interp_ratio,
-        latent_factor=latent_factor,
+        latent_factor=latent_factor, decode_chunk_size=opt.decode_chunk_size,
     )
     pipe = I2VPipeline(vcfg_run, unet, uparams, vae, vparams)
 

@@ -35,7 +35,7 @@ batch for spatial ops and into the pixel axis for temporal ones.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -278,7 +278,11 @@ class UNet3DConditionModel(nn.Module):
         inject_copy=0.0,
         inject_interp=0.0,
         interp_ratio: float = 0.7,
-    ) -> jnp.ndarray:
+        cached_ctx: Optional[jnp.ndarray] = None,  # [B, S', ctx] from return_cache
+        cached_il: Optional[jnp.ndarray] = None,  # [B, F, h, w, cin] from return_cache
+        cross_kv: Optional[dict] = None,  # {attn_name: (k [L,B,S',inner], v)}
+        return_cache: bool = False,
+    ):
         cfg = self.config
         b, f = sample.shape[:2]
         cin = cfg.in_channels
@@ -298,51 +302,65 @@ class UNet3DConditionModel(nn.Module):
         )
         temb_f = jnp.repeat(temb, f, axis=0)  # per folded frame
 
-        # 4. context tokens: [text, frame-0 conv tokens, 4 image-embed tokens]
-        il0 = image_latents[:, 0].astype(cfg.dtype)  # first frame, raw latent
-        p = cfg.context_pool_size
-        y = nn.Conv(cin * 8, (3, 3), padding=((1, 1), (1, 1)), dtype=cfg.dtype,
-                    name="image_latents_context_embedding_conv1")(il0)
-        y = nn.silu(y)
-        stride = y.shape[1] // p
-        assert stride * p == y.shape[1], (
-            f"latent size {y.shape[1]} must be a multiple of context_pool_size {p}")
-        y = nn.avg_pool(y, (stride, stride), strides=(stride, stride))
-        y = nn.Conv(cin * 16, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
-                    dtype=cfg.dtype, name="image_latents_context_embedding_conv2")(y)
-        y = nn.silu(y)
-        y = nn.Conv(cfg.cross_attention_dim, (3, 3), strides=(2, 2),
-                    padding=((1, 1), (1, 1)), dtype=cfg.dtype,
-                    name="image_latents_context_embedding_conv3")(y)
-        img_ctx = y.reshape(b, -1, cfg.cross_attention_dim)
+        # 4. context tokens: [text, frame-0 conv tokens, 4 image-embed tokens].
+        # This whole section (and 5 below) is independent of ``sample`` and
+        # ``timestep``, i.e. loop-invariant across a denoising trajectory —
+        # ``return_cache``/``cached_*``/``cross_kv`` let the pipeline hoist it
+        # out of the sampling scan (precompute_video_cache), mirroring the
+        # image UNet's precompute_cross_kv.
+        if cached_ctx is None:
+            il0 = image_latents[:, 0].astype(cfg.dtype)  # first frame, raw latent
+            p = cfg.context_pool_size
+            y = nn.Conv(cin * 8, (3, 3), padding=((1, 1), (1, 1)), dtype=cfg.dtype,
+                        name="image_latents_context_embedding_conv1")(il0)
+            y = nn.silu(y)
+            stride = y.shape[1] // p
+            assert stride * p == y.shape[1], (
+                f"latent size {y.shape[1]} must be a multiple of context_pool_size {p}")
+            y = nn.avg_pool(y, (stride, stride), strides=(stride, stride))
+            y = nn.Conv(cin * 16, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                        dtype=cfg.dtype, name="image_latents_context_embedding_conv2")(y)
+            y = nn.silu(y)
+            y = nn.Conv(cfg.cross_attention_dim, (3, 3), strides=(2, 2),
+                        padding=((1, 1), (1, 1)), dtype=cfg.dtype,
+                        name="image_latents_context_embedding_conv3")(y)
+            img_ctx = y.reshape(b, -1, cfg.cross_attention_dim)
 
-        img_emb = MLPEmbedding(
-            cfg.time_embed_dim, cfg.cross_attention_dim * cin,
-            dtype=cfg.dtype, name="context_embedding",
-        )(image_embeddings.astype(cfg.dtype))
-        img_emb = img_emb.reshape(b, cin, cfg.cross_attention_dim)
+            img_emb = MLPEmbedding(
+                cfg.time_embed_dim, cfg.cross_attention_dim * cin,
+                dtype=cfg.dtype, name="context_embedding",
+            )(image_embeddings.astype(cfg.dtype))
+            img_emb = img_emb.reshape(b, cin, cfg.cross_attention_dim)
 
-        ctx = jnp.concatenate(
-            [encoder_hidden_states.astype(cfg.dtype), img_ctx, img_emb], axis=1
-        )
+            ctx = jnp.concatenate(
+                [encoder_hidden_states.astype(cfg.dtype), img_ctx, img_emb], axis=1
+            )
+        else:
+            ctx = cached_ctx.astype(cfg.dtype)
         ctx_f = jnp.repeat(ctx, f, axis=0)
 
         # 5. image latents: conv proj + temporal encoder, concat on channels
-        il = fold_frames(image_latents).astype(cfg.dtype)
-        il = nn.Conv(cin * 4, (3, 3), padding=((1, 1), (1, 1)), dtype=cfg.dtype,
-                     name="image_latents_proj_in_conv1")(il)
-        il = nn.silu(il)
-        il = nn.Conv(cin * 4, (3, 3), padding=((1, 1), (1, 1)), dtype=cfg.dtype,
-                     name="image_latents_proj_in_conv2")(il)
-        il = nn.silu(il)
-        il = nn.Conv(cin, (3, 3), padding=((1, 1), (1, 1)), dtype=cfg.dtype,
-                     name="image_latents_proj_in_conv3")(il)
-        seq, shape = _to_pixel_seq(unfold_frames(il, b))
-        seq = ImageLatentsTemporalEncoder(
-            dim=cin, heads=2, dim_head=cin, ff_inner_dim=cin * 4,
-            dtype=cfg.dtype, name="image_latents_temporal_encoder",
-        )(seq)
-        il = _from_pixel_seq(seq, shape)
+        if cached_il is None:
+            il = fold_frames(image_latents).astype(cfg.dtype)
+            il = nn.Conv(cin * 4, (3, 3), padding=((1, 1), (1, 1)), dtype=cfg.dtype,
+                         name="image_latents_proj_in_conv1")(il)
+            il = nn.silu(il)
+            il = nn.Conv(cin * 4, (3, 3), padding=((1, 1), (1, 1)), dtype=cfg.dtype,
+                         name="image_latents_proj_in_conv2")(il)
+            il = nn.silu(il)
+            il = nn.Conv(cin, (3, 3), padding=((1, 1), (1, 1)), dtype=cfg.dtype,
+                         name="image_latents_proj_in_conv3")(il)
+            seq, shape = _to_pixel_seq(unfold_frames(il, b))
+            seq = ImageLatentsTemporalEncoder(
+                dim=cin, heads=2, dim_head=cin, ff_inner_dim=cin * 4,
+                dtype=cfg.dtype, name="image_latents_temporal_encoder",
+            )(seq)
+            il = _from_pixel_seq(seq, shape)
+        else:
+            il = cached_il.astype(cfg.dtype)
+
+        if return_cache:
+            return ctx, il
 
         x = jnp.concatenate([sample.astype(cfg.dtype), il], axis=-1)
         x = nn.Conv(
@@ -367,12 +385,19 @@ class UNet3DConditionModel(nn.Module):
         def spatial_attn(name, level, x):
             ch = cfg.block_out_channels[level]
             heads = max(1, ch // cfg.attention_head_dim)
+            kv = None
+            if cross_kv is not None:
+                # cached K/V are per clip row [L, B, S', inner]; repeat to the
+                # folded frame batch [L, B*F, S', inner] (b-major, matching
+                # fold_frames). XLA lowers this to a broadcast inside the
+                # attention fusion, not a materialized copy.
+                kv = tuple(jnp.repeat(a, f, axis=1) for a in cross_kv[name])
             return unfold_frames(
                 Transformer2DModel(
                     heads=heads, dim_head=cfg.attention_head_dim, num_layers=1,
                     cross_attention_dim=cfg.cross_attention_dim,
                     norm_num_groups=cfg.norm_num_groups, dtype=cfg.dtype, name=name,
-                )(fold_frames(x), ctx_f, None), b,
+                )(fold_frames(x), ctx_f, None, kv=kv), b,
             )
 
         def temp_conv(name, ch, x):
@@ -448,3 +473,48 @@ class UNet3DConditionModel(nn.Module):
         y = nn.silu(y)
         y = nn.Conv(cfg.out_channels, (3, 3), padding=((1, 1), (1, 1)), dtype=cfg.dtype, name="conv_out")(y)
         return unfold_frames(y, b).astype(jnp.float32)
+
+
+def video_cross_attention_names(cfg: UNet3DConfig):
+    """Names of every spatial cross-attention transformer, in call order."""
+    names = []
+    for level, btype in enumerate(cfg.down_block_types):
+        if btype == "CrossAttnDownBlock3D":
+            for j in range(cfg.layers_per_block):
+                names.append(f"down_blocks_{level}_attentions_{j}")
+    names.append("mid_block_attentions_0")
+    for i, btype in enumerate(cfg.up_block_types):
+        if btype == "CrossAttnUpBlock3D":
+            for j in range(cfg.layers_per_block + 1):
+                names.append(f"up_blocks_{i}_attentions_{j}")
+    return names
+
+
+def precompute_video_cache(model: UNet3DConditionModel, params,
+                           encoder_hidden_states, image_latents,
+                           image_embeddings, fps):
+    """Hoist every step-invariant piece of the video UNet out of the
+    denoising scan.
+
+    The context tokens (text + first-frame conv tokens + image-embed
+    tokens), the projected image latents (3 convs + the pixel temporal
+    encoder over all F frames), and every spatial attn2's K/V over that
+    context depend only on the conditioning — none of it on ``sample`` or
+    ``timestep`` — yet the reference pipeline recomputes all of it in each
+    of the 2×50 CFG forwards (pipeline_i2vgen_xl.py:680-722 calling the
+    full UNet). Returns ``(cached_ctx, cached_il, cross_kv)`` for
+    ``UNet3DConditionModel.__call__``. Equivalence-tested in
+    tests/test_video.py.
+    """
+    cfg = model.config
+    ctx, il = model.apply(
+        {"params": params}, image_latents, 0, encoder_hidden_states,
+        image_latents, image_embeddings, fps, return_cache=True,
+    )
+    kv = {}
+    for name in video_cross_attention_names(cfg):
+        ap = params[name]["transformer_blocks_0"]["attn2"]
+        k = ctx @ ap["to_k"]["kernel"].astype(cfg.dtype)
+        v = ctx @ ap["to_v"]["kernel"].astype(cfg.dtype)
+        kv[name] = (k[None], v[None])  # L=1 layer per spatial transformer
+    return ctx, il, kv

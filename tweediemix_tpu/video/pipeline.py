@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tweediemix_tpu.models.unet3d import UNet3DConditionModel
+from tweediemix_tpu.models.unet3d import UNet3DConditionModel, precompute_video_cache
 from tweediemix_tpu.models.vae import postprocess_image, scale_latents, unscale_latents
 from tweediemix_tpu.schedulers.ddim import (
     cfg as cfg_combine,
@@ -142,6 +142,11 @@ class I2VPipeline:
         k = cfg.injection_steps
         steps = jnp.arange(cfg.n_timesteps)
         inject = (steps < k).astype(jnp.float32)
+        # conditioning-only work (context tokens, projected image latents,
+        # every cross-attn K/V) runs once per trajectory, not once per step
+        cached_ctx, cached_il, cross_kv = precompute_video_cache(
+            self.unet, unet_params, ctx2, image_latents2, image_emb2, fps2,
+        )
 
         def step(x, inp):
             t, inj = inp
@@ -150,6 +155,7 @@ class I2VPipeline:
             eps = self.unet.apply(
                 {"params": unet_params}, xin, t, ctx2, image_latents2, image_emb2,
                 fps2, inj, inj, cfg.interp_ratio,
+                cached_ctx=cached_ctx, cached_il=cached_il, cross_kv=cross_kv,
             )
             er = eps.reshape(b, 2, *eps.shape[1:])
             e = cfg_combine(er[:, 0], er[:, 1], cfg.guidance_scale)
@@ -246,20 +252,27 @@ class I2VPipeline:
         return cache[mesh_devices]
 
     def decode_video(self, latents: jnp.ndarray) -> jnp.ndarray:
-        """[B, F, h, w, 4] → [B, F, H, W, 3], chunked per frame (reference
-        decode_chunk_size=1, run_video.py:39)."""
+        """[B, F, h, w, 4] → [B, F, H, W, 3], decoded ``decode_chunk_size``
+        frames at a time (reference decode_chunk_size=1, run_video.py:39;
+        larger chunks trade peak decode memory for fewer, better-utilized
+        conv dispatches — tune per chip)."""
         bsz, f = latents.shape[:2]
+        n = bsz * f
         z = unscale_latents(latents, self.vae.config).reshape(
-            bsz * f, *latents.shape[2:]
+            n, *latents.shape[2:]
         )
+        c = min(max(1, self.config.decode_chunk_size), n)
+        while n % c:  # largest divisor ≤ requested chunk keeps shapes static
+            c -= 1
 
-        def decode_one(frame):
+        def decode_chunk(frames):
             img = self.vae.apply(
-                {"params": self.vae_params}, frame[None], method=self.vae.decode
+                {"params": self.vae_params}, frames, method=self.vae.decode
             )
-            return postprocess_image(img)[0]
+            return postprocess_image(img)
 
-        out = jax.lax.map(decode_one, z)
+        out = jax.lax.map(decode_chunk, z.reshape(n // c, c, *z.shape[1:]))
+        out = out.reshape(n, *out.shape[2:])
         return out.reshape(bsz, f, *out.shape[1:])
 
 
