@@ -182,3 +182,54 @@ def test_chunked_xla_fallback_matches_direct(monkeypatch):
     # direct equivalence of the chunked helper as well
     got2 = attn_mod._xla_attention_chunked(q, k, v, 16.0**-0.5, chunk=64)
     np.testing.assert_allclose(np.asarray(got2), np.asarray(want), rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize(
+    "n,s,heads,dh",
+    [
+        (64, 16, 5, 64),  # I2VGen temporal shape (8 pixel-bands per matmul)
+        (32, 12, 3, 64),  # frame padding (12 -> 16) + band kv mask
+        (8, 16, 2, 128),  # VPU row-sum denominator path (dh % 128 == 0)
+        (100, 7, 4, 32),  # row padding (N*s not block-divisible) + s pad
+        (16, 1, 2, 64),  # degenerate single-frame sequence
+    ],
+)
+def test_short_seq_attention_matches_xla(n, s, heads, dh):
+    """The packed short-sequence kernel must equal per-head softmax
+    attention over the frame axis (every pixel row attends only within
+    its own S-band)."""
+    from tweediemix_tpu.ops.short_attention import short_seq_attention
+
+    d = heads * dh
+    key = jax.random.PRNGKey(n * s + heads)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (n, s, d), dtype=jnp.float32)
+    k = jax.random.normal(kk, (n, s, d), dtype=jnp.float32)
+    v = jax.random.normal(kv, (n, s, d), dtype=jnp.float32)
+    scale = dh**-0.5
+    want = merge_heads(
+        xla_attention(split_heads(q, heads), split_heads(k, heads),
+                      split_heads(v, heads), scale),
+        heads,
+    )
+    got = short_seq_attention(q, k, v, heads, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_short_seq_attention_env_dispatch(monkeypatch):
+    """TWEEDIEMIX_SHORT_ATTENTION=1 routes small-S self-attention through
+    the kernel wrapper only on TPU backends; on CPU the XLA path must be
+    used (no interpret-mode surprise on the product path)."""
+    monkeypatch.setenv("TWEEDIEMIX_SHORT_ATTENTION", "1")
+    key = jax.random.PRNGKey(0)
+    q, k, v = (jax.random.normal(jax.random.fold_in(key, i), (6, 16, 128))
+               for i in range(3))
+    want = merge_heads(
+        xla_attention(split_heads(q, 2), split_heads(k, 2),
+                      split_heads(v, 2), 64.0**-0.5),
+        2,
+    )
+    got = multi_head_attention(q, k, v, 2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)

@@ -24,10 +24,19 @@ from tweediemix_tpu.ops.flash_attention import flash_attention
 #   blocks (256,512)@4096, (512,512)@1024, (1024,1024)@1024 run ~1000x
 #   slow) — the block table below only contains measured-good configs.
 # Flash engages for self-attention with both sides >= 1024 tokens (SDXL
-# levels 1 and 2 + mid); cross-attention (kv=77) stays on XLA.
-# Override with TWEEDIEMIX_ATTENTION=flash|xla.
+# levels 1 and 2 + mid); cross-attention (kv=77) stays on XLA. At S=256
+# flash wins standalone microbenches at small BH (docs/PERF.md) but the
+# win doesn't survive in-loop where XLA fuses the multipass with its
+# neighbors — the video loop measures 514.0 ms/step with
+# TWEEDIEMIX_FLASH_MIN_S=256 vs 512.9 at the 1024 default.
+# Override with TWEEDIEMIX_ATTENTION=flash|xla and
+# TWEEDIEMIX_FLASH_MIN_S=<tokens> (threshold experiments).
 _FLASH_MIN_SQ = 1024
 _FLASH_MIN_SK = 1024
+
+
+def _flash_min_s() -> int:
+    return int(os.environ.get("TWEEDIEMIX_FLASH_MIN_S", _FLASH_MIN_SQ))
 
 
 def _use_flash(sq: int, dh: int) -> bool:
@@ -39,7 +48,7 @@ def _use_flash(sq: int, dh: int) -> bool:
     # "auto" falls through to the measured thresholds
     return (
         jax.default_backend() == "tpu"
-        and sq >= _FLASH_MIN_SQ
+        and sq >= _flash_min_s()
         and dh in (64, 128, 256)
     )
 
@@ -115,7 +124,7 @@ def attention(
     dh = q.shape[-1]
     if scale is None:
         scale = float(dh) ** -0.5
-    if _use_flash(q.shape[1], dh) and k.shape[1] >= _FLASH_MIN_SK:
+    if _use_flash(q.shape[1], dh) and k.shape[1] >= min(_FLASH_MIN_SK, _flash_min_s()):
         # measured v5e sweep (tools/bench_attention.py, ones-column kernel,
         # head-blocked grids):
         #   S=4096: G=2 (1024,1024) 3.14 ms / 54.7 TFLOP/s
@@ -170,6 +179,22 @@ def multi_head_attention(
     """Multi-head attention over [B, S, D] projections (pre-head-split)."""
     if scale is None:
         scale = float(q.shape[-1] // num_heads) ** -0.5
+    # opt-in Pallas path for frame-axis (S<=32) self-attention. Measured
+    # NEGATIVE on v5e for the I2VGen-XL temporal blocks (docs/PERF.md
+    # round 3): the fused kernel itself runs ~6 ms at the transformer_in
+    # shape but the mandatory head-major relayout erases the win vs XLA's
+    # fused multipass. Kept behind an env var for larger chips / future
+    # toolchains.
+    if (
+        os.environ.get("TWEEDIEMIX_SHORT_ATTENTION", "0") == "1"
+        and jax.default_backend() == "tpu"
+        and q.shape == k.shape
+        and q.shape[1] <= 32
+        and (q.shape[-1] // num_heads) in (32, 64, 128)
+    ):
+        from tweediemix_tpu.ops.short_attention import short_seq_attention
+
+        return short_seq_attention(q, k, v, num_heads, scale=scale)
     out = attention(
         split_heads(q, num_heads),
         split_heads(k, num_heads),

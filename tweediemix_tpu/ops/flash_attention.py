@@ -170,6 +170,11 @@ def flash_attention(
         block_q //= 2
     while _vmem_est(block_q, block_k, g) > 12 * 2**20 and block_k > 128:
         block_k //= 2
+    # blocks bottom out at 128; shed head_block next (e.g. a requested
+    # G=32 at S=256/dh=64 is an 18 MB working set that used to crash the
+    # Mosaic scoped-vmem allocator)
+    while _vmem_est(block_q, block_k, g) > 12 * 2**20 and g > 1 and g % 2 == 0:
+        g //= 2
     sq_p = _round_up(sq, block_q)
     sk_p = _round_up(sk, block_k)
 
