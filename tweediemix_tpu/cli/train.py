@@ -61,6 +61,9 @@ def build_parser():
     p.add_argument("--scale_lr", action="store_true")
     p.add_argument("--max_grad_norm", type=float, default=1.0)
     p.add_argument("--adam_weight_decay", type=float, default=1e-2)
+    p.add_argument("--adam_beta1", type=float, default=0.9)
+    p.add_argument("--adam_beta2", type=float, default=0.999)
+    p.add_argument("--adam_epsilon", type=float, default=1e-8)
     p.add_argument("--use_8bit_adam", action="store_true",
                    help="int8 blockwise Adam moment state (the reference's "
                         "bitsandbytes AdamW8bit)")
@@ -306,6 +309,9 @@ def main(argv=None) -> int:
         learning_rate=lr,
         max_grad_norm=opt.max_grad_norm,
         adam_weight_decay=opt.adam_weight_decay,
+        adam_beta1=opt.adam_beta1,
+        adam_beta2=opt.adam_beta2,
+        adam_epsilon=opt.adam_epsilon,
         prior_loss_weight=opt.prior_loss_weight,
         with_prior_preservation=opt.with_prior_preservation,
         freeze_model=opt.freeze_model,
