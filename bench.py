@@ -48,11 +48,17 @@ def zeros_params(model, *example_args, dtype=None):
 
 
 def main():
+    import os as _env
+
     on_tpu = jax.default_backend() == "tpu"
     n_concepts = 3  # cat + dog + background (sample_catdog.sh:19)
+    # TWEEDIEMIX_BENCH_QUANT=int8 measures the opt-in W8A8 serving mode
+    # (ops/quant.py); default off — the headline stays bf16.
+    quant = _env.environ.get("TWEEDIEMIX_BENCH_QUANT") or None
 
     if on_tpu:
-        ucfg = UNetConfig.sdxl(dtype=jnp.bfloat16, concept_slots=n_concepts + 1)
+        ucfg = UNetConfig.sdxl(dtype=jnp.bfloat16, concept_slots=n_concepts + 1,
+                               quant=quant)
         vcfg = VAEConfig.sdxl()
         fcfg = FusionConfig(
             n_timesteps=50, guidance_scale=0.8, t_cond=0.2,
@@ -61,7 +67,7 @@ def main():
         )
         ctx_len, ctx_dim, pool_dim = 77, 2048, 1280
     else:
-        ucfg = UNetConfig.micro(concept_slots=n_concepts + 1)
+        ucfg = UNetConfig.micro(concept_slots=n_concepts + 1, quant=quant)
         vcfg = VAEConfig.tiny()
         fcfg = FusionConfig(
             n_timesteps=10, guidance_scale=0.8, t_cond=0.2,

@@ -1,0 +1,125 @@
+"""Tests for the opt-in int8 W8A8 serving path (ops/quant.py).
+
+The reference has no quantized inference (its precision floor is fp16
+autocast, ``fusion_generation/fusion_sampling.py:492``); this mode is
+TPU-native extra headroom, so the tests here define its contract:
+bounded per-layer error vs the fp32 matmul, an unchanged param tree, and
+a close full-UNet forward.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tweediemix_tpu.ops.quant import QDense, quantize_weight_int8, w8a8_matmul
+
+
+def test_quantize_weight_roundtrip():
+    w = jax.random.normal(jax.random.PRNGKey(0), (64, 48))
+    wq, scale = quantize_weight_int8(w)
+    assert wq.dtype == jnp.int8 and scale.dtype == jnp.float32
+    deq = wq.astype(np.float32) * scale[None, :]
+    # symmetric per-channel int8: max error is half a quantization step
+    step = np.asarray(scale)[None, :]
+    assert np.max(np.abs(np.asarray(w) - deq)) <= 0.5 * step.max() + 1e-7
+
+
+def test_w8a8_matmul_close_to_fp32():
+    key = jax.random.PRNGKey(1)
+    x = jax.random.normal(key, (4, 33, 64))
+    w = jax.random.normal(jax.random.fold_in(key, 1), (64, 96)) / 8.0
+    ref = x @ w
+    got = w8a8_matmul(x, *quantize_weight_int8(w))
+    rel = np.linalg.norm(np.asarray(got - ref)) / np.linalg.norm(np.asarray(ref))
+    assert rel < 0.02, rel
+
+
+def test_w8a8_handles_zero_rows():
+    # all-zero activation rows must not divide by zero
+    x = jnp.zeros((2, 5, 16))
+    w = jax.random.normal(jax.random.PRNGKey(2), (16, 8))
+    out = w8a8_matmul(x, *quantize_weight_int8(w))
+    assert np.all(np.isfinite(np.asarray(out)))
+    np.testing.assert_allclose(np.asarray(out), 0.0)
+
+
+def test_qdense_param_tree_matches_dense():
+    import flax.linen as nn
+
+    x = jnp.ones((2, 7, 24))
+    for use_bias in (True, False):
+        qd = QDense(16, use_bias=use_bias, quant="int8")
+        d = nn.Dense(16, use_bias=use_bias)
+        qp = qd.init(jax.random.PRNGKey(0), x)["params"]
+        dp = d.init(jax.random.PRNGKey(0), x)["params"]
+        assert jax.tree_util.tree_structure(qp) == jax.tree_util.tree_structure(dp)
+        for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(qp),
+            jax.tree_util.tree_leaves_with_path(dp),
+        ):
+            assert pa == pb and a.shape == b.shape and a.dtype == b.dtype
+
+
+@pytest.mark.parametrize("cfg_kind", ["micro", "tiny"])
+def test_unet_quant_structure_and_output(cfg_kind):
+    """quant="int8" must not change the param tree, and the forward must
+    stay close to the bf16-free fp32 baseline (loose tolerance — this is a
+    quantized path)."""
+    from tweediemix_tpu.models.unet2d import UNet2DConditionModel, UNetConfig
+
+    mk = getattr(UNetConfig, cfg_kind)
+    cfg = mk()
+    qcfg = mk(quant="int8")
+    unet, qunet = UNet2DConditionModel(cfg), UNet2DConditionModel(qcfg)
+
+    key = jax.random.PRNGKey(0)
+    h = w = cfg.sample_size
+    sample = 0.3 * jax.random.normal(key, (2, h, w, 4))
+    ctx = 0.3 * jax.random.normal(jax.random.fold_in(key, 1), (2, 9, cfg.cross_attention_dim))
+    pooled = 0.3 * jax.random.normal(jax.random.fold_in(key, 2), (2, cfg.pooled_projection_dim))
+    tids = jnp.zeros((2, 6))
+    args = (sample, jnp.int32(5), ctx, pooled, tids)
+
+    params = unet.init(key, *args)["params"]
+    qparams = qunet.init(key, *args)["params"]
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(qparams)
+
+    ref = unet.apply({"params": params}, *args)
+    got = qunet.apply({"params": params}, *args)  # same weights, int8 compute
+    rel = np.linalg.norm(np.asarray(got - ref)) / np.linalg.norm(np.asarray(ref))
+    assert rel < 0.15, rel
+    # and the two must be strongly correlated (quantization noise, not junk)
+    c = np.corrcoef(np.asarray(ref).ravel(), np.asarray(got).ravel())[0, 1]
+    assert c > 0.99, c
+
+
+def test_fusion_cli_accepts_quant_flag(tmp_path):
+    """--quant int8 runs the tiny end-to-end sampling path."""
+    from tweediemix_tpu.cli.fusion_sampling import main
+
+    out = tmp_path / "out"
+    rc = main([
+        "--prompt", "a cat+a dog+bg", "--prompt_orig", "a cat and a dog",
+        "--concepts", "cat+dog+bg", "--modifier_token", "<c1>+<c2>+<c3>",
+        "--model_preset", "tiny", "--n_timesteps", "4",
+        "--resampling_steps", "1", "--jumping_steps", "1",
+        "--resolution_h", "64", "--resolution_w", "64",
+        "--mask_dir", _write_masks(tmp_path, ("cat", "dog")),
+        "--seg_concepts", "cat+dog",
+        "--output_path", str(out), "--quant", "int8",
+    ])
+    assert rc == 0
+    assert list(out.glob("*.png"))
+
+
+def _write_masks(tmp_path, names):
+    from PIL import Image
+
+    d = tmp_path / "masks"
+    d.mkdir(exist_ok=True)
+    for i, n in enumerate(names):
+        m = np.zeros((64, 64), np.uint8)
+        m[:, i * 32 : (i + 1) * 32] = 255
+        Image.fromarray(m).save(d / f"{n}.jpg")
+    return str(d)

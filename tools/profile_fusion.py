@@ -10,6 +10,7 @@ Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/profile_fusion.py
 """
 
 import argparse
+import os
 import time
 
 import jax
@@ -46,13 +47,16 @@ def main():
     n_concepts = 3
     on_tpu = jax.default_backend() == "tpu"
     print("backend:", jax.default_backend())
+    # TWEEDIEMIX_BENCH_QUANT=int8 profiles the opt-in W8A8 mode (ops/quant.py)
+    quant = os.environ.get("TWEEDIEMIX_BENCH_QUANT") or None
     if on_tpu:
-        ucfg = UNetConfig.sdxl(dtype=jnp.bfloat16, concept_slots=n_concepts + 1)
+        ucfg = UNetConfig.sdxl(dtype=jnp.bfloat16, concept_slots=n_concepts + 1,
+                               quant=quant)
         vcfg = VAEConfig.sdxl()
         fcfg = FusionConfig(height=args.res, width=args.res, num_concepts=n_concepts)
         ctx_len, ctx_dim, pool_dim = 77, 2048, 1280
     else:
-        ucfg = UNetConfig.micro(concept_slots=n_concepts + 1)
+        ucfg = UNetConfig.micro(concept_slots=n_concepts + 1, quant=quant)
         vcfg = VAEConfig.tiny()
         fcfg = FusionConfig(n_timesteps=10, resampling_steps=2, jumping_steps=2,
                             height=128, width=128, num_concepts=n_concepts)

@@ -76,6 +76,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh_devices", type=int, default=1,
                    help="shard every forward's batch rows over this many "
                         "devices (seeds-in-parallel serving layout)")
+    p.add_argument("--quant", type=str, default=None, choices=[None, "int8"],
+                   help="run the UNet's transformer matmuls as dynamic W8A8 "
+                        "int8 on the MXU (opt-in speed/fidelity trade; "
+                        "ops/quant.py). Checkpoints are unchanged.")
     return p
 
 
@@ -98,6 +102,7 @@ def _load_tiny_stack(opt, n_concepts):
     ucfg = UNetConfig.micro(
         cross_attention_dim=c1.hidden_size + c2.hidden_size,
         pooled_projection_dim=32,
+        quant=getattr(opt, "quant", None),
     )
     unet = UNet2DConditionModel(ucfg)
     h = opt.resolution_h // 8
@@ -135,7 +140,7 @@ def _load_model_dir(opt):
     )
 
     d = opt.model_dir
-    ucfg = UNetConfig.sdxl(dtype=jnp.bfloat16)
+    ucfg = UNetConfig.sdxl(dtype=jnp.bfloat16, quant=getattr(opt, "quant", None))
     uparams = load_unet_params(os.path.join(d, "unet"))
     validate_unet_params(ucfg, uparams)
     vcfg = VAEConfig.sdxl()

@@ -32,6 +32,7 @@ import jax.numpy as jnp
 
 from tweediemix_tpu.models.embeddings import TimestepEmbedding, timestep_embedding
 from tweediemix_tpu.ops.attention import multi_head_attention
+from tweediemix_tpu.ops.quant import QDense, quantize_weight_int8, w8a8_matmul
 from tweediemix_tpu.ops.stacked import lora_delta, stacked_linear
 
 
@@ -72,6 +73,10 @@ class UNetConfig:
     # training: rematerialize resnet/transformer blocks in the backward pass
     # (the reference's --gradient_checkpointing, singleconcept_train.sh:20)
     remat: bool = False
+    # serving: "int8" runs the transformer matmuls (qkv/out, GEGLU, proj)
+    # as dynamic W8A8 on the MXU's int8 path (ops/quant.py); params stay
+    # fp32 and checkpoint-identical. Opt-in speed/fidelity trade.
+    quant: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -153,6 +158,7 @@ class Attention(nn.Module):
     lora_slots: int = 0
     lora_rank: int = 4
     detach_first_token_kv: bool = False
+    quant: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -164,6 +170,13 @@ class Attention(nn.Module):
         b = x.shape[0]
         if concept_idx is None:
             concept_idx = jnp.zeros((b,), dtype=jnp.int32)
+
+        def Dense(features, use_bias=True, name=None):
+            if self.quant:
+                return QDense(features, use_bias=use_bias, quant=self.quant,
+                              dtype=self.dtype, name=name)
+            return nn.Dense(features, use_bias=use_bias, dtype=self.dtype,
+                            name=name)
 
         def lora(name, inp, din, dout):
             down = self.param(
@@ -186,20 +199,23 @@ class Attention(nn.Module):
             wq = _Kernel(self.query_dim, inner, name="to_q")()
             wk = _Kernel(ctx_dim, inner, name="to_k")()
             wv = _Kernel(ctx_dim, inner, name="to_v")()
-            w = jnp.concatenate([wq, wk, wv], axis=1).astype(self.dtype)
-            qkv = jnp.einsum("bsc,cd->bsd", x, w)
+            w = jnp.concatenate([wq, wk, wv], axis=1)
+            if self.quant == "int8":
+                qkv = w8a8_matmul(x, *quantize_weight_int8(w))
+            else:
+                qkv = jnp.einsum("bsc,cd->bsd", x, w.astype(self.dtype))
             q, k, v = jnp.split(qkv, 3, axis=-1)
             if self.lora_slots:
                 q = q + lora("to_q", x, self.query_dim, inner)
                 k = k + lora("to_k", ctx, ctx_dim, inner)
                 v = v + lora("to_v", ctx, ctx_dim, inner)
             out = multi_head_attention(q, k, v, self.heads)
-            proj = nn.Dense(self.query_dim, dtype=self.dtype, name="to_out_0")(out)
+            proj = Dense(self.query_dim, name="to_out_0")(out)
             if self.lora_slots:
                 proj = proj + lora("to_out", out, inner, self.query_dim)
             return proj
 
-        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        q = Dense(inner, use_bias=False, name="to_q")(x)
         if kv is not None:
             # precomputed cross-attention K/V (precompute_cross_kv): the text
             # context is loop-invariant across the sampling scan, so the
@@ -210,7 +226,7 @@ class Attention(nn.Module):
                 q = q + lora("to_q", x, self.query_dim, inner)
             k, v = kv
             out = multi_head_attention(q, k, v, self.heads)
-            proj = nn.Dense(self.query_dim, dtype=self.dtype, name="to_out_0")(out)
+            proj = Dense(self.query_dim, name="to_out_0")(out)
             if self.lora_slots:
                 proj = proj + lora("to_out", out, inner, self.query_dim)
             return proj
@@ -230,8 +246,8 @@ class Attention(nn.Module):
             k = stacked_linear(ctx, wk.astype(self.dtype), concept_idx)
             v = stacked_linear(ctx, wv.astype(self.dtype), concept_idx)
         else:
-            k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
-            v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+            k = Dense(inner, use_bias=False, name="to_k")(ctx)
+            v = Dense(inner, use_bias=False, name="to_v")(ctx)
 
         if self.lora_slots:
             q = q + lora("to_q", x, self.query_dim, inner)
@@ -243,7 +259,7 @@ class Attention(nn.Module):
             v = jnp.concatenate([jax.lax.stop_gradient(v[:, :1]), v[:, 1:]], axis=1)
 
         out = multi_head_attention(q, k, v, self.heads)
-        proj = nn.Dense(self.query_dim, dtype=self.dtype, name="to_out_0")(out)
+        proj = Dense(self.query_dim, name="to_out_0")(out)
         if self.lora_slots:
             # LoRA out-delta reads the pre-projection hidden (utils_lora.py:115-119)
             proj = proj + lora("to_out", out, inner, self.query_dim)
@@ -254,15 +270,20 @@ class FeedForward(nn.Module):
     """GEGLU MLP (diffusers ``FeedForward`` with geglu activation)."""
 
     dim: int
+    quant: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         hidden = self.dim * 4
-        x = nn.Dense(hidden * 2, dtype=self.dtype, name="net_0_proj")(x)
+        if self.quant:
+            D = lambda f, name: QDense(f, quant=self.quant, dtype=self.dtype, name=name)
+        else:
+            D = lambda f, name: nn.Dense(f, dtype=self.dtype, name=name)
+        x = D(hidden * 2, "net_0_proj")(x)
         x, gate = jnp.split(x, 2, axis=-1)
         x = x * nn.gelu(gate, approximate=False)
-        return nn.Dense(self.dim, dtype=self.dtype, name="net_2")(x)
+        return D(self.dim, "net_2")(x)
 
 
 class BasicTransformerBlock(nn.Module):
@@ -274,6 +295,7 @@ class BasicTransformerBlock(nn.Module):
     lora_slots: int = 0
     lora_rank: int = 4
     detach_first_token_kv: bool = False
+    quant: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -284,6 +306,7 @@ class BasicTransformerBlock(nn.Module):
             dim_head=self.dim_head,
             lora_slots=self.lora_slots,
             lora_rank=self.lora_rank,
+            quant=self.quant,
             dtype=self.dtype,
         )
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
@@ -297,7 +320,7 @@ class BasicTransformerBlock(nn.Module):
             **attn_kw,
         )(h, ctx, concept_idx, kv=kv)
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x)
-        return x + FeedForward(self.dim, dtype=self.dtype, name="ff")(h)
+        return x + FeedForward(self.dim, quant=self.quant, dtype=self.dtype, name="ff")(h)
 
 
 class Transformer2DModel(nn.Module):
@@ -313,6 +336,7 @@ class Transformer2DModel(nn.Module):
     lora_slots: int = 0
     lora_rank: int = 4
     detach_first_token_kv: bool = False
+    quant: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -320,11 +344,15 @@ class Transformer2DModel(nn.Module):
         b, h, w, c = x.shape
         inner = self.heads * self.dim_head
         residual = x
+        if self.quant:
+            D = lambda f, name: QDense(f, quant=self.quant, dtype=self.dtype, name=name)
+        else:
+            D = lambda f, name: nn.Dense(f, dtype=self.dtype, name=name)
         x = nn.GroupNorm(
             num_groups=self.norm_num_groups, epsilon=1e-6, dtype=self.dtype, name="norm"
         )(x)
         x = x.reshape(b, h * w, c)
-        x = nn.Dense(inner, dtype=self.dtype, name="proj_in")(x)
+        x = D(inner, "proj_in")(x)
         for i in range(self.num_layers):
             x = BasicTransformerBlock(
                 dim=inner,
@@ -335,10 +363,11 @@ class Transformer2DModel(nn.Module):
                 lora_slots=self.lora_slots,
                 lora_rank=self.lora_rank,
                 detach_first_token_kv=self.detach_first_token_kv,
+                quant=self.quant,
                 dtype=self.dtype,
                 name=f"transformer_blocks_{i}",
             )(x, ctx, concept_idx, kv=None if kv is None else (kv[0][i], kv[1][i]))
-        x = nn.Dense(c, dtype=self.dtype, name="proj_out")(x)
+        x = D(c, "proj_out")(x)
         return x.reshape(b, h, w, c) + residual
 
 
@@ -455,6 +484,7 @@ class UNet2DConditionModel(nn.Module):
                 lora_slots=cfg.lora_slots,
                 lora_rank=cfg.lora_rank,
                 detach_first_token_kv=cfg.detach_first_token_kv,
+                quant=cfg.quant,
                 dtype=cfg.dtype,
                 name=name,
             )

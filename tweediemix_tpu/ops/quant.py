@@ -1,0 +1,106 @@
+"""Int8 (W8A8) matmul path for serving — a TPU-native speed knob.
+
+The v5e MXU runs int8×int8→int32 contractions at up to twice the bf16
+rate; measured on this chip (scan-amortized, host-fetch barrier) the full
+dynamic-quant pipeline below is 1.2–1.4× faster than the bf16 matmul at
+SDXL transformer shapes (1280→5120 GEGLU: 2.55 → 1.84 ms for the
+round-trip pair). The reference has no analogue (its precision ladder
+stops at fp16 autocast, ``fusion_generation/fusion_sampling.py:492``);
+this is opt-in extra headroom for the serving path, enabled via
+``UNetConfig(quant="int8")`` / ``--quant int8``.
+
+Scheme (standard dynamic W8A8):
+
+* **weights** — symmetric per-output-channel scales, quantized from the
+  fp32 checkpoint params *inside* jit. The quantization is loop-invariant
+  across the sampling ``lax.scan``, so XLA's while-loop LICM hoists it out
+  of the hot loop (verified on-chip: step time matches a pre-quantized
+  run); params and checkpoints stay fp32 and structure-identical to the
+  unquantized model.
+* **activations** — symmetric per-row (per-token) dynamic scales computed
+  on the fly; the max-reduce and round/clip fuse into the surrounding
+  elementwise work.
+* accumulation in int32, dequant to the model dtype.
+
+Quality: with random-normal weights the per-layer relative error is ~1%
+(see tests/test_quant.py); on a 50-step DDIM trajectory errors do not
+compound (each step re-reads the latent), matching published W8A8
+diffusion results. Still opt-in: fidelity on real SDXL checkpoints cannot
+be validated in this offline environment.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def quantize_weight_int8(w: jnp.ndarray):
+    """Symmetric per-output-channel int8 quantization of a [K, N] kernel.
+
+    Returns ``(wq int8 [K, N], scale f32 [N])`` with
+    ``w ≈ wq * scale[None, :]``.
+    """
+    w = w.astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(w), axis=0) / 127.0, 1e-12)
+    wq = jnp.clip(jnp.round(w / scale[None, :]), -127, 127).astype(jnp.int8)
+    return wq, scale
+
+
+def w8a8_matmul(
+    x: jnp.ndarray, wq: jnp.ndarray, wscale: jnp.ndarray
+) -> jnp.ndarray:
+    """``x @ dequant(wq)`` with dynamic per-row int8 activation quantization.
+
+    x: [..., K]; wq: int8 [K, N]; wscale: f32 [N]. Returns [..., N] in
+    ``x.dtype``. The contraction runs on the MXU's int8 path
+    (int32 accumulation).
+    """
+    xf = x.astype(jnp.float32)
+    xscale = jnp.maximum(
+        jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0, 1e-12
+    )
+    xq = jnp.clip(jnp.round(xf / xscale), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, wq, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return (acc.astype(jnp.float32) * xscale * wscale).astype(x.dtype)
+
+
+class QDense(nn.Module):
+    """Drop-in ``nn.Dense`` with an int8 W8A8 compute path.
+
+    Declares the exact same params as ``nn.Dense`` (fp32 ``kernel``
+    [in, out] and optional ``bias`` [out]) so checkpoints, converters, and
+    the param tree are unchanged; only the matmul arithmetic differs when
+    ``quant == "int8"``. With ``quant=None`` it reproduces ``nn.Dense``'s
+    compute (inputs and kernel cast to ``dtype``).
+    """
+
+    features: int
+    use_bias: bool = True
+    quant: Optional[str] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (x.shape[-1], self.features),
+            jnp.float32,
+        )
+        if self.quant == "int8":
+            y = w8a8_matmul(x, *quantize_weight_int8(kernel))
+        else:
+            y = x.astype(self.dtype) @ kernel.astype(self.dtype)
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            )
+            y = y + bias.astype(y.dtype)
+        return y
