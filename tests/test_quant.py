@@ -94,6 +94,56 @@ def test_unet_quant_structure_and_output(cfg_kind):
     assert c > 0.99, c
 
 
+def test_unet3d_quant_structure_and_output():
+    """The video UNet's quant="int8" contract: identical param tree, close
+    forward (same weights, int8 transformer matmuls)."""
+    from tweediemix_tpu.models.unet3d import UNet3DConditionModel, UNet3DConfig
+
+    cfg = UNet3DConfig.tiny()
+    qcfg = UNet3DConfig.tiny(quant="int8")
+    unet, qunet = UNet3DConditionModel(cfg), UNet3DConditionModel(qcfg)
+
+    key = jax.random.PRNGKey(0)
+    f, h, w = 3, 8, 8
+    sample = 0.3 * jax.random.normal(key, (2, f, h, w, 4))
+    ctx = 0.3 * jax.random.normal(jax.random.fold_in(key, 1),
+                                  (2, 7, cfg.cross_attention_dim))
+    il = 0.3 * jax.random.normal(jax.random.fold_in(key, 2), (2, f, h, w, 4))
+    emb = 0.3 * jax.random.normal(jax.random.fold_in(key, 3),
+                                  (2, 1, cfg.cross_attention_dim))
+    args = (sample, jnp.int32(5), ctx, il, emb, jnp.float32(8.0))
+
+    params = unet.init(key, *args)["params"]
+    qparams = qunet.init(key, *args)["params"]
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(qparams)
+
+    ref = unet.apply({"params": params}, *args)
+    got = qunet.apply({"params": params}, *args)
+    rel = np.linalg.norm(np.asarray(got - ref)) / np.linalg.norm(np.asarray(ref))
+    assert rel < 0.15, rel
+    c = np.corrcoef(np.asarray(ref).ravel(), np.asarray(got).ravel())[0, 1]
+    assert c > 0.99, c
+
+
+def test_video_cli_accepts_quant_flag(tmp_path):
+    """--quant int8 runs the tiny end-to-end video path."""
+    from PIL import Image
+
+    from tweediemix_tpu.cli.run_video import main
+
+    img = tmp_path / "cond.png"
+    Image.fromarray(np.zeros((32, 32, 3), np.uint8)).save(img)
+    out = tmp_path / "clip.gif"
+    rc = main([
+        "--image", str(img), "--prompt", "a cat walking",
+        "--model_preset", "tiny", "--num_frames", "4",
+        "--n_timesteps", "2", "--height", "32", "--width", "32",
+        "--output", str(out), "--quant", "int8",
+    ])
+    assert rc == 0
+    assert out.exists()
+
+
 def test_fusion_cli_accepts_quant_flag(tmp_path):
     """--quant int8 runs the tiny end-to-end sampling path."""
     from tweediemix_tpu.cli.fusion_sampling import main

@@ -29,14 +29,17 @@ def measure() -> dict:
 
     on_tpu = jax.default_backend() == "tpu"
     decode_chunk = int(os.environ.get("TWEEDIEMIX_BENCH_DECODE_CHUNK", "1"))
+    # TWEEDIEMIX_BENCH_QUANT=int8 measures the opt-in W8A8 serving mode
+    # (ops/quant.py); default off — the graded number stays bf16.
+    quant = os.environ.get("TWEEDIEMIX_BENCH_QUANT") or None
     if on_tpu:
-        ucfg = UNet3DConfig.i2vgen(dtype=jnp.bfloat16)
+        ucfg = UNet3DConfig.i2vgen(dtype=jnp.bfloat16, quant=quant)
         vcfg = VAEConfig(scaling_factor=0.18215)
         # 50 steps, 512px, 16 frames, fps 8, guidance 9
         vid = VideoConfig(decode_chunk_size=decode_chunk)
         ctx_len = 77
     else:
-        ucfg = UNet3DConfig.tiny()
+        ucfg = UNet3DConfig.tiny(quant=quant)
         vcfg = VAEConfig.tiny()
         vid = VideoConfig(n_timesteps=4, num_frames=4, height=32, width=32,
                           latent_factor=2)

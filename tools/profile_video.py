@@ -51,13 +51,16 @@ def main():
 
     on_tpu = jax.default_backend() == "tpu"
     print("backend:", jax.default_backend())
+    # TWEEDIEMIX_BENCH_QUANT=int8 profiles the opt-in W8A8 mode (ops/quant.py)
+    import os as _os
+    quant = _os.environ.get("TWEEDIEMIX_BENCH_QUANT") or None
     if on_tpu:
-        ucfg = UNet3DConfig.i2vgen(dtype=jnp.bfloat16)
+        ucfg = UNet3DConfig.i2vgen(dtype=jnp.bfloat16, quant=quant)
         vcfg = VAEConfig(scaling_factor=0.18215)
         vid = VideoConfig()
         ctx_len = 77
     else:
-        ucfg = UNet3DConfig.tiny()
+        ucfg = UNet3DConfig.tiny(quant=quant)
         vcfg = VAEConfig.tiny()
         vid = VideoConfig(n_timesteps=4, num_frames=4, height=32, width=32,
                           latent_factor=2)

@@ -43,6 +43,11 @@ def build_parser():
     p.add_argument("--mesh_devices", type=int, default=1,
                    help="shard the clip rows of every forward over this many "
                         "devices (1-D dp mesh; requires num_seeds % n == 0)")
+    p.add_argument("--quant", type=str, default=None, choices=[None, "int8"],
+                   help="run the video UNet's transformer matmuls (spatial + "
+                        "temporal) as dynamic W8A8 int8 on the MXU (opt-in "
+                        "speed/fidelity trade; ops/quant.py). Checkpoints are "
+                        "unchanged.")
     return p
 
 
@@ -70,7 +75,8 @@ def main(argv=None) -> int:
     if opt.model_preset == "tiny" or opt.model_dir is None:
         tcfg = CLIPTextConfig.tiny()
         vcfg_clip = CLIPVisionConfig.tiny(projection_dim=tcfg.hidden_size)
-        ucfg = UNet3DConfig.tiny(cross_attention_dim=tcfg.hidden_size)
+        ucfg = UNet3DConfig.tiny(cross_attention_dim=tcfg.hidden_size,
+                                 quant=opt.quant)
         vcfg = VAEConfig.tiny()
         tok = HashTokenizer(tcfg.vocab_size)
 
@@ -115,7 +121,7 @@ def main(argv=None) -> int:
         )
 
         d = opt.model_dir
-        ucfg = UNet3DConfig.i2vgen(dtype=jnp.bfloat16)
+        ucfg = UNet3DConfig.i2vgen(dtype=jnp.bfloat16, quant=opt.quant)
         uparams = load_unet3d_params(os.path.join(d, "unet"), dtype=jnp.bfloat16)
         validate_unet3d_params(ucfg, uparams)
         vcfg = VAEConfig(scaling_factor=0.18215)

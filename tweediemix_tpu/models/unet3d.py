@@ -50,6 +50,7 @@ from tweediemix_tpu.models.unet2d import (
     Transformer2DModel,
     Upsample2D,
 )
+from tweediemix_tpu.ops.quant import QDense
 
 
 @dataclasses.dataclass(frozen=True)
@@ -68,6 +69,11 @@ class UNet3DConfig:
     cross_attention_dim: int = 1024
     norm_num_groups: int = 32
     context_pool_size: int = 32  # AdaptiveAvgPool2d target in the ctx conv stack
+    # "int8" runs every in-loop transformer matmul (spatial + temporal) as
+    # dynamic W8A8 on the MXU's int8 path (ops/quant.py); params stay fp32.
+    # The conditioning-only modules (context conv stack, image-latent
+    # encoder) are hoisted out of the sampling scan and stay bf16.
+    quant: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -172,18 +178,20 @@ class TemporalBasicBlock(nn.Module):
     dim: int
     heads: int
     dim_head: int
+    quant: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):  # [N, F, C]
         kw = dict(query_dim=self.dim, heads=self.heads, dim_head=self.dim_head,
-                  dtype=self.dtype)
+                  quant=self.quant, dtype=self.dtype)
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         x = x + Attention(name="attn1", **kw)(h)
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         x = x + Attention(name="attn2", **kw)(h)
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x)
-        return x + FeedForward(self.dim, dtype=self.dtype, name="ff")(h)
+        return x + FeedForward(self.dim, quant=self.quant, dtype=self.dtype,
+                               name="ff")(h)
 
 
 class TransformerTemporalModel(nn.Module):
@@ -195,24 +203,31 @@ class TransformerTemporalModel(nn.Module):
     dim_head: int
     num_layers: int = 1
     norm_num_groups: int = 32
+    quant: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):  # [B, F, H, W, C]
         inner = self.heads * self.dim_head
         res = x
+        if self.quant:
+            D = lambda f, name: QDense(f, quant=self.quant, dtype=self.dtype,
+                                       name=name)
+        else:
+            D = lambda f, name: nn.Dense(f, dtype=self.dtype, name=name)
         # full-tensor GN: stats over (F, H, W, C/g) per sample, like torch
         # GN on the upstream [B, C, F, H, W] layout
         y = nn.GroupNorm(num_groups=self.norm_num_groups, epsilon=1e-6,
                          dtype=self.dtype, name="norm")(x)
         y, shape = _to_pixel_seq(y)
-        y = nn.Dense(inner, dtype=self.dtype, name="proj_in")(y)
+        y = D(inner, "proj_in")(y)
         for i in range(self.num_layers):
             y = TemporalBasicBlock(
                 dim=inner, heads=self.heads, dim_head=self.dim_head,
-                dtype=self.dtype, name=f"transformer_blocks_{i}",
+                quant=self.quant, dtype=self.dtype,
+                name=f"transformer_blocks_{i}",
             )(y)
-        y = nn.Dense(self.in_channels, dtype=self.dtype, name="proj_out")(y)
+        y = D(self.in_channels, "proj_out")(y)
         return res + _from_pixel_seq(y, shape)
 
 
@@ -371,8 +386,8 @@ class UNet3DConditionModel(nn.Module):
         x = TransformerTemporalModel(
             in_channels=cfg.block_out_channels[0], heads=8,
             dim_head=cfg.attention_head_dim, num_layers=1,
-            norm_num_groups=cfg.norm_num_groups, dtype=cfg.dtype,
-            name="transformer_in",
+            norm_num_groups=cfg.norm_num_groups, quant=cfg.quant,
+            dtype=cfg.dtype, name="transformer_in",
         )(x)
 
         def spatial_resnet(name, ch, x):
@@ -396,7 +411,8 @@ class UNet3DConditionModel(nn.Module):
                 Transformer2DModel(
                     heads=heads, dim_head=cfg.attention_head_dim, num_layers=1,
                     cross_attention_dim=cfg.cross_attention_dim,
-                    norm_num_groups=cfg.norm_num_groups, dtype=cfg.dtype, name=name,
+                    norm_num_groups=cfg.norm_num_groups, quant=cfg.quant,
+                    dtype=cfg.dtype, name=name,
                 )(fold_frames(x), ctx_f, None, kv=kv), b,
             )
 
@@ -409,7 +425,7 @@ class UNet3DConditionModel(nn.Module):
             return TransformerTemporalModel(
                 in_channels=ch, heads=heads, dim_head=cfg.attention_head_dim,
                 num_layers=1, norm_num_groups=cfg.norm_num_groups,
-                dtype=cfg.dtype, name=name,
+                quant=cfg.quant, dtype=cfg.dtype, name=name,
             )(x)
 
         n_levels = len(cfg.block_out_channels)
