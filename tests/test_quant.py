@@ -12,7 +12,14 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from tweediemix_tpu.ops.quant import QDense, quantize_weight_int8, w8a8_matmul
+from tweediemix_tpu.ops.quant import (
+    QConv,
+    QDense,
+    quantize_weight_int8,
+    quantize_weight_int8_conv,
+    w8a8_conv,
+    w8a8_matmul,
+)
 
 
 def test_quantize_weight_roundtrip():
@@ -61,8 +68,49 @@ def test_qdense_param_tree_matches_dense():
             assert pa == pb and a.shape == b.shape and a.dtype == b.dtype
 
 
+def test_w8a8_conv_close_to_fp32():
+    key = jax.random.PRNGKey(3)
+    x = jax.random.normal(key, (2, 9, 9, 16))
+    w = jax.random.normal(jax.random.fold_in(key, 1), (3, 3, 16, 24)) / 8.0
+    ref = jax.lax.conv_general_dilated(
+        x, w, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    got = w8a8_conv(x, *quantize_weight_int8_conv(w))
+    rel = np.linalg.norm(np.asarray(got - ref)) / np.linalg.norm(np.asarray(ref))
+    # per-sample activation scales are coarser than the matmul path's
+    # per-token scales — allow a few percent on random-normal data
+    assert rel < 0.05, rel
+
+
+def test_qconv_param_tree_matches_conv():
+    import flax.linen as nn
+
+    x = jnp.ones((2, 8, 8, 12))
+    for strides in ((1, 1), (2, 2)):
+        qc = QConv(16, kernel_size=(3, 3), strides=strides, quant="int8_conv")
+        c = nn.Conv(16, kernel_size=(3, 3), strides=strides,
+                    padding=((1, 1), (1, 1)))
+        qp = qc.init(jax.random.PRNGKey(0), x)["params"]
+        cp = c.init(jax.random.PRNGKey(0), x)["params"]
+        assert jax.tree_util.tree_structure(qp) == jax.tree_util.tree_structure(cp)
+        for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(qp),
+            jax.tree_util.tree_leaves_with_path(cp),
+        ):
+            assert pa == pb and a.shape == b.shape and a.dtype == b.dtype
+        # quant=None reproduces nn.Conv's compute exactly (same init seed)
+        np.testing.assert_allclose(
+            np.asarray(QConv(16, kernel_size=(3, 3), strides=strides).apply(
+                {"params": qp}, x)),
+            np.asarray(c.apply({"params": cp}, x)),
+            rtol=1e-6, atol=1e-6,
+        )
+
+
 @pytest.mark.parametrize("cfg_kind", ["micro", "tiny"])
-def test_unet_quant_structure_and_output(cfg_kind):
+@pytest.mark.parametrize("mode", ["int8", "int8_conv"])
+def test_unet_quant_structure_and_output(cfg_kind, mode):
     """quant="int8" must not change the param tree, and the forward must
     stay close to the bf16-free fp32 baseline (loose tolerance — this is a
     quantized path)."""
@@ -70,7 +118,7 @@ def test_unet_quant_structure_and_output(cfg_kind):
 
     mk = getattr(UNetConfig, cfg_kind)
     cfg = mk()
-    qcfg = mk(quant="int8")
+    qcfg = mk(quant=mode)
     unet, qunet = UNet2DConditionModel(cfg), UNet2DConditionModel(qcfg)
 
     key = jax.random.PRNGKey(0)

@@ -76,10 +76,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh_devices", type=int, default=1,
                    help="shard every forward's batch rows over this many "
                         "devices (seeds-in-parallel serving layout)")
-    p.add_argument("--quant", type=str, default=None, choices=[None, "int8"],
+    p.add_argument("--quant", type=str, default=None, choices=[None, "int8", "int8_conv"],
                    help="run the UNet's transformer matmuls as dynamic W8A8 "
                         "int8 on the MXU (opt-in speed/fidelity trade; "
-                        "ops/quant.py). Checkpoints are unchanged.")
+                        "ops/quant.py); int8_conv additionally quantizes "
+                        "the resnet/resample convs. Checkpoints are "
+                        "unchanged.")
     return p
 
 

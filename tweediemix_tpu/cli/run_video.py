@@ -43,11 +43,12 @@ def build_parser():
     p.add_argument("--mesh_devices", type=int, default=1,
                    help="shard the clip rows of every forward over this many "
                         "devices (1-D dp mesh; requires num_seeds % n == 0)")
-    p.add_argument("--quant", type=str, default=None, choices=[None, "int8"],
+    p.add_argument("--quant", type=str, default=None, choices=[None, "int8", "int8_conv"],
                    help="run the video UNet's transformer matmuls (spatial + "
                         "temporal) as dynamic W8A8 int8 on the MXU (opt-in "
-                        "speed/fidelity trade; ops/quant.py). Checkpoints are "
-                        "unchanged.")
+                        "speed/fidelity trade; ops/quant.py); int8_conv "
+                        "additionally quantizes the resnet/resample convs. "
+                        "Checkpoints are unchanged.")
     return p
 
 

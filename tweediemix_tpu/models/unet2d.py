@@ -24,6 +24,7 @@ diffusers config for stabilityai/stable-diffusion-xl-base-1.0.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional, Tuple
 
 import flax.linen as nn
@@ -32,7 +33,12 @@ import jax.numpy as jnp
 
 from tweediemix_tpu.models.embeddings import TimestepEmbedding, timestep_embedding
 from tweediemix_tpu.ops.attention import multi_head_attention
-from tweediemix_tpu.ops.quant import QDense, quantize_weight_int8, w8a8_matmul
+from tweediemix_tpu.ops.quant import (
+    QConv,
+    QDense,
+    quantize_weight_int8,
+    w8a8_matmul,
+)
 from tweediemix_tpu.ops.stacked import lora_delta, stacked_linear
 
 
@@ -74,8 +80,10 @@ class UNetConfig:
     # (the reference's --gradient_checkpointing, singleconcept_train.sh:20)
     remat: bool = False
     # serving: "int8" runs the transformer matmuls (qkv/out, GEGLU, proj)
-    # as dynamic W8A8 on the MXU's int8 path (ops/quant.py); params stay
-    # fp32 and checkpoint-identical. Opt-in speed/fidelity trade.
+    # as dynamic W8A8 on the MXU's int8 path (ops/quant.py); "int8_conv"
+    # additionally quantizes the resnet 3×3 + resample convs (coarser
+    # per-sample activation scales — see ops/quant.py::w8a8_conv). Params
+    # stay fp32 and checkpoint-identical. Opt-in speed/fidelity trade.
     quant: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
@@ -200,7 +208,7 @@ class Attention(nn.Module):
             wk = _Kernel(ctx_dim, inner, name="to_k")()
             wv = _Kernel(ctx_dim, inner, name="to_v")()
             w = jnp.concatenate([wq, wk, wv], axis=1)
-            if self.quant == "int8":
+            if self.quant in ("int8", "int8_conv"):
                 qkv = w8a8_matmul(x, *quantize_weight_int8(w))
             else:
                 qkv = jnp.einsum("bsc,cd->bsd", x, w.astype(self.dtype))
@@ -374,46 +382,61 @@ class Transformer2DModel(nn.Module):
 class ResnetBlock2D(nn.Module):
     out_channels: int
     norm_num_groups: int
+    quant: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, temb):
         in_channels = x.shape[-1]
+        # "int8_conv" quantizes the two 3×3 convs; the shortcut stays exact
+        # so the residual path carries no quantization error of its own
+        Conv = _quant_conv3x3(self.quant, self.dtype)
         h = nn.GroupNorm(
             num_groups=self.norm_num_groups, epsilon=1e-5, dtype=self.dtype, name="norm1"
         )(x)
         h = nn.silu(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv1")(h)
+        h = Conv(self.out_channels, name="conv1")(h)
         t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(nn.silu(temb))
         h = h + t[:, None, None, :]
         h = nn.GroupNorm(
             num_groups=self.norm_num_groups, epsilon=1e-5, dtype=self.dtype, name="norm2"
         )(h)
         h = nn.silu(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv2")(h)
+        h = Conv(self.out_channels, name="conv2")(h)
         if in_channels != self.out_channels:
             x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut")(x)
         return x + h
 
 
+def _quant_conv3x3(quant, dtype, strides=(1, 1)):
+    """3×3 same-pad conv factory: ``QConv`` under "int8_conv", else
+    ``nn.Conv`` (identical param tree either way)."""
+    if quant == "int8_conv":
+        return functools.partial(
+            QConv, kernel_size=(3, 3), strides=strides,
+            padding=((1, 1), (1, 1)), quant=quant, dtype=dtype,
+        )
+    return functools.partial(
+        nn.Conv, kernel_size=(3, 3), strides=strides,
+        padding=((1, 1), (1, 1)), dtype=dtype,
+    )
+
+
 class Downsample2D(nn.Module):
     out_channels: int
+    quant: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        return nn.Conv(
-            self.out_channels,
-            (3, 3),
-            strides=(2, 2),
-            padding=((1, 1), (1, 1)),
-            dtype=self.dtype,
-            name="conv",
+        return _quant_conv3x3(self.quant, self.dtype, strides=(2, 2))(
+            self.out_channels, name="conv"
         )(x)
 
 
 class Upsample2D(nn.Module):
     out_channels: int
+    quant: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -424,7 +447,9 @@ class Upsample2D(nn.Module):
         x = jnp.broadcast_to(
             x[:, :, None, :, None, :], (b, h, 2, w, 2, c)
         ).reshape(b, h * 2, w * 2, c)
-        return nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv")(x)
+        return _quant_conv3x3(self.quant, self.dtype)(
+            self.out_channels, name="conv"
+        )(x)
 
 
 class UNet2DConditionModel(nn.Module):
@@ -501,7 +526,8 @@ class UNet2DConditionModel(nn.Module):
             has_attn = block_type == "CrossAttnDownBlock2D"
             for j in range(cfg.layers_per_block):
                 x = Resnet(
-                    out_ch, cfg.norm_num_groups, dtype=cfg.dtype,
+                    out_ch, cfg.norm_num_groups, quant=cfg.quant,
+                    dtype=cfg.dtype,
                     name=f"down_blocks_{level}_resnets_{j}",
                 )(x, temb)
                 if has_attn:
@@ -512,17 +538,17 @@ class UNet2DConditionModel(nn.Module):
                     )
                 res_stack.append(x)
             if level < n_levels - 1:
-                x = Downsample2D(out_ch, dtype=cfg.dtype, name=f"down_blocks_{level}_downsamplers_0")(x)
+                x = Downsample2D(out_ch, quant=cfg.quant, dtype=cfg.dtype, name=f"down_blocks_{level}_downsamplers_0")(x)
                 res_stack.append(x)
 
         # --- mid ---
         mid_ch = cfg.block_out_channels[-1]
-        x = Resnet(mid_ch, cfg.norm_num_groups, dtype=cfg.dtype, name="mid_block_resnets_0")(x, temb)
+        x = Resnet(mid_ch, cfg.norm_num_groups, quant=cfg.quant, dtype=cfg.dtype, name="mid_block_resnets_0")(x, temb)
         x = transformer(n_levels - 1, "mid_block_attentions_0")(
             x, ctx, concept_idx,
             kv=None if cross_kv is None else cross_kv["mid_block_attentions_0"],
         )
-        x = Resnet(mid_ch, cfg.norm_num_groups, dtype=cfg.dtype, name="mid_block_resnets_1")(x, temb)
+        x = Resnet(mid_ch, cfg.norm_num_groups, quant=cfg.quant, dtype=cfg.dtype, name="mid_block_resnets_1")(x, temb)
 
         # --- up ---
         rev_channels = list(reversed(cfg.block_out_channels))
@@ -534,7 +560,8 @@ class UNet2DConditionModel(nn.Module):
                 res = res_stack.pop()
                 x = jnp.concatenate([x, res], axis=-1)
                 x = Resnet(
-                    out_ch, cfg.norm_num_groups, dtype=cfg.dtype,
+                    out_ch, cfg.norm_num_groups, quant=cfg.quant,
+                    dtype=cfg.dtype,
                     name=f"up_blocks_{i}_resnets_{j}",
                 )(x, temb)
                 if has_attn:
@@ -544,7 +571,7 @@ class UNet2DConditionModel(nn.Module):
                         kv=None if cross_kv is None else cross_kv[name],
                     )
             if i < n_levels - 1:
-                x = Upsample2D(out_ch, dtype=cfg.dtype, name=f"up_blocks_{i}_upsamplers_0")(x)
+                x = Upsample2D(out_ch, quant=cfg.quant, dtype=cfg.dtype, name=f"up_blocks_{i}_upsamplers_0")(x)
 
         x = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-5, dtype=cfg.dtype, name="conv_norm_out")(x)
         x = nn.silu(x)

@@ -70,8 +70,9 @@ class UNet3DConfig:
     norm_num_groups: int = 32
     context_pool_size: int = 32  # AdaptiveAvgPool2d target in the ctx conv stack
     # "int8" runs every in-loop transformer matmul (spatial + temporal) as
-    # dynamic W8A8 on the MXU's int8 path (ops/quant.py); params stay fp32.
-    # The conditioning-only modules (context conv stack, image-latent
+    # dynamic W8A8 on the MXU's int8 path (ops/quant.py); "int8_conv"
+    # additionally quantizes the spatial resnet/resample convs. Params stay
+    # fp32. The conditioning-only modules (context conv stack, image-latent
     # encoder) are hoisted out of the sampling scan and stay bf16.
     quant: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
@@ -392,7 +393,8 @@ class UNet3DConditionModel(nn.Module):
 
         def spatial_resnet(name, ch, x):
             return unfold_frames(
-                ResnetBlock2D(ch, cfg.norm_num_groups, dtype=cfg.dtype, name=name)(
+                ResnetBlock2D(ch, cfg.norm_num_groups, quant=cfg.quant,
+                              dtype=cfg.dtype, name=name)(
                     fold_frames(x), temb_f
                 ), b,
             )
@@ -442,7 +444,7 @@ class UNet3DConditionModel(nn.Module):
                 res_stack.append(x)
             if level < n_levels - 1:
                 x = unfold_frames(
-                    Downsample2D(ch, dtype=cfg.dtype, name=f"down_blocks_{level}_downsamplers_0")(
+                    Downsample2D(ch, quant=cfg.quant, dtype=cfg.dtype, name=f"down_blocks_{level}_downsamplers_0")(
                         fold_frames(x)
                     ), b,
                 )
@@ -479,7 +481,7 @@ class UNet3DConditionModel(nn.Module):
                     x = temp_attn(f"up_blocks_{i}_temp_attentions_{j}", ch, x)
             if i < n_levels - 1:
                 x = unfold_frames(
-                    Upsample2D(ch, dtype=cfg.dtype, name=f"up_blocks_{i}_upsamplers_0")(
+                    Upsample2D(ch, quant=cfg.quant, dtype=cfg.dtype, name=f"up_blocks_{i}_upsamplers_0")(
                         fold_frames(x)
                     ), b,
                 )

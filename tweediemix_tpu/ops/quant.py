@@ -71,6 +71,92 @@ def w8a8_matmul(
     return (acc.astype(jnp.float32) * xscale * wscale).astype(x.dtype)
 
 
+def quantize_weight_int8_conv(w: jnp.ndarray):
+    """Symmetric per-output-channel int8 quantization of an HWIO conv kernel.
+
+    w: [kh, kw, in, out]. Returns ``(wq int8, scale f32 [out])`` with
+    ``w ≈ wq * scale``.
+    """
+    w = w.astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(w), axis=(0, 1, 2)) / 127.0, 1e-12)
+    wq = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    return wq, scale
+
+
+def w8a8_conv(
+    x: jnp.ndarray,
+    wq: jnp.ndarray,
+    wscale: jnp.ndarray,
+    strides=(1, 1),
+    padding=((1, 1), (1, 1)),
+) -> jnp.ndarray:
+    """NHWC ``conv(x, dequant(wq))`` with dynamic int8 activation quantization.
+
+    Unlike the matmul path, the activation scale must be uniform across a
+    conv's whole receptive field for the dequant to factor out of the int32
+    accumulation, so it is **per-sample** (max |x| over H, W, C of each
+    batch row), not per-token — coarser, but UNet resnet activations are
+    GroupNorm+SiLU-bounded so the range per sample is tame (error bounds in
+    tests/test_quant.py). x: [B, H, W, Cin]; wq: int8 [kh, kw, Cin, Cout].
+    """
+    xf = x.astype(jnp.float32)
+    xscale = jnp.maximum(
+        jnp.max(jnp.abs(xf), axis=(1, 2, 3), keepdims=True) / 127.0, 1e-12
+    )
+    xq = jnp.clip(jnp.round(xf / xscale), -127, 127).astype(jnp.int8)
+    acc = jax.lax.conv_general_dilated(
+        xq, wq, window_strides=strides, padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    return (acc.astype(jnp.float32) * xscale * wscale).astype(x.dtype)
+
+
+class QConv(nn.Module):
+    """Drop-in 2-D ``nn.Conv`` (NHWC/HWIO) with an int8 W8A8 compute path.
+
+    Same param tree as ``nn.Conv`` (fp32 ``kernel`` [kh, kw, in, out] +
+    ``bias`` [out]); with ``quant=None`` it reproduces ``nn.Conv``'s
+    compute in ``dtype``. Only the shapes the UNets use are supported
+    (2-D, no dilation/grouping).
+    """
+
+    features: int
+    kernel_size: tuple = (3, 3)
+    strides: tuple = (1, 1)
+    padding: tuple = ((1, 1), (1, 1))
+    use_bias: bool = True
+    quant: Optional[str] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (kh, kw, x.shape[-1], self.features),
+            jnp.float32,
+        )
+        if self.quant in ("int8", "int8_conv"):
+            y = w8a8_conv(
+                x, *quantize_weight_int8_conv(kernel),
+                strides=self.strides, padding=self.padding,
+            )
+        else:
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                window_strides=self.strides, padding=self.padding,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            )
+            y = y + bias.astype(y.dtype)
+        return y
+
+
 class QDense(nn.Module):
     """Drop-in ``nn.Dense`` with an int8 W8A8 compute path.
 
@@ -94,7 +180,7 @@ class QDense(nn.Module):
             (x.shape[-1], self.features),
             jnp.float32,
         )
-        if self.quant == "int8":
+        if self.quant in ("int8", "int8_conv"):
             y = w8a8_matmul(x, *quantize_weight_int8(kernel))
         else:
             y = x.astype(self.dtype) @ kernel.astype(self.dtype)
