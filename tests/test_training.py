@@ -597,3 +597,44 @@ def test_cli_train_concepts_list_json(tmp_path, image_dirs):
 
     delta = load_reference_delta(str(ckpts[0]))
     assert "<a1>" in delta["modifier_token"] and "<b1>" in delta["modifier_token"]
+
+
+def test_prefetch_batches_order_and_errors():
+    """prefetch_batches preserves order, drains fully, and re-raises
+    worker exceptions at the consumer."""
+    from tweediemix_tpu.training.data import prefetch_batches
+
+    assert list(prefetch_batches(iter(range(7)), depth=2)) == list(range(7))
+
+    def boom():
+        yield 0
+        yield 1
+        raise ValueError("decode failed")
+
+    got = []
+    with pytest.raises(ValueError, match="decode failed"):
+        for x in prefetch_batches(boom(), depth=1):
+            got.append(x)
+    assert got == [0, 1]
+
+
+def test_cli_train_vae_encode_bf16(tmp_path, image_dirs):
+    """--vae_encode_dtype bf16 runs the tiny trainer and saves a loadable
+    delta (latents are cast back to fp32 at the boundary)."""
+    from tweediemix_tpu.cli.train import main as train_main
+
+    inst, _ = image_dirs
+    out = tmp_path / "ckpt"
+    rc = train_main([
+        "--model_preset", "tiny",
+        "--resolution", "64",
+        "--instance_data_dir", inst,
+        "--instance_prompt", "photo of a <v1> cat",
+        "--modifier_token", "<v1>",
+        "--max_train_steps", "2",
+        "--save_steps", "2",
+        "--vae_encode_dtype", "bf16",
+        "--output_dir", str(out),
+    ])
+    assert rc == 0
+    assert list(out.glob("delta-*.bin"))

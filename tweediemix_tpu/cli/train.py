@@ -64,6 +64,15 @@ def build_parser():
     p.add_argument("--adam_beta1", type=float, default=0.9)
     p.add_argument("--adam_beta2", type=float, default=0.999)
     p.add_argument("--adam_epsilon", type=float, default=1e-8)
+    p.add_argument("--vae_encode_dtype", type=str, default="fp32",
+                   choices=["fp32", "bf16"],
+                   help="compute dtype for the per-step VAE latent encode "
+                        "(and class-image decode). The reference pins the "
+                        "training VAE to fp32 (diffusers_training_xl_new.py"
+                        ":700) — that stays the default; bf16 measures 91 vs "
+                        "174 ms/step at 512px batch 2 on v5e (the encoder is "
+                        "bandwidth-bound). Latents are cast back to fp32 at "
+                        "the boundary either way.")
     p.add_argument("--use_8bit_adam", action="store_true",
                    help="int8 blockwise Adam moment state (the reference's "
                         "bitsandbytes AdamW8bit)")
@@ -83,6 +92,12 @@ def build_parser():
     p.add_argument("--report_to", type=str, default="none",
                    help="'none' or a directory for JSONL/TensorBoard metrics")
     return p
+
+
+def _vae_dtype(opt):
+    import jax.numpy as jnp
+
+    return jnp.bfloat16 if getattr(opt, "vae_encode_dtype", "fp32") == "bf16" else jnp.float32
 
 
 def main(argv=None) -> int:
@@ -147,7 +162,7 @@ def main(argv=None) -> int:
             detach_first_token_kv=not lora,
             remat=opt.gradient_checkpointing,
         )
-        vcfg = VAEConfig.tiny()
+        vcfg = VAEConfig.tiny(dtype=_vae_dtype(opt))
         tok1, tok2 = HashTokenizer(c1.vocab_size), HashTokenizer(c2.vocab_size)
         te1_params = jax.jit(CLIPTextModel(c1).init)(key, jnp.zeros((1, 77), jnp.int32))["params"]
         te2_params = jax.jit(CLIPTextModel(c2).init)(
@@ -175,7 +190,7 @@ def main(argv=None) -> int:
             detach_first_token_kv=not lora,
             remat=opt.gradient_checkpointing,
         )
-        vcfg = VAEConfig.sdxl()
+        vcfg = VAEConfig.sdxl(dtype=_vae_dtype(opt))
         tok1 = CLIPBPETokenizer.from_dir(os.path.join(d, "tokenizer"))
         tok2 = CLIPBPETokenizer.from_dir(os.path.join(d, "tokenizer_2"))
         # bf16 params (trainable leaves are promoted to fp32 masters below);
@@ -367,7 +382,9 @@ def main(argv=None) -> int:
     def encode_fn(vp, px, rng):
         mean, logvar = vae.apply({"params": vp}, px, method=vae.encode)
         z = mean + jnp.exp(0.5 * logvar) * jax.random.normal(rng, mean.shape)
-        return scale_latents(z, vcfg)
+        # fp32 at the boundary: the diffusion-loss math is unchanged by the
+        # encoder's compute dtype choice
+        return scale_latents(z, vcfg).astype(jnp.float32)
 
     encode = jax.jit(encode_fn)
 
@@ -388,15 +405,24 @@ def main(argv=None) -> int:
         print(f"max_train_steps derived from {opt.num_train_epochs} epochs: "
               f"{opt.max_train_steps}")
     rng = jax.random.PRNGKey(opt.seed)
-    start_opt_step = int(state.step) // accum
+    start_micro = int(state.step)
+    start_opt_step = start_micro // accum
     micro_steps = (opt.max_train_steps - start_opt_step) * accum
-    for i, batch_np in enumerate(ds.batches(opt.train_batch_size * n_dev, micro_steps)):
+    # prefetch: decode/augment/tokenize the next batches on a worker thread
+    # while the device runs the current step. The step counter is tracked
+    # host-side — int(state.step) per micro step would be a device sync
+    # that stalls dispatch and serializes data loading with compute.
+    from tweediemix_tpu.training.data import prefetch_batches
+
+    batch_iter = prefetch_batches(
+        ds.batches(opt.train_batch_size * n_dev, micro_steps))
+    for i, batch_np in enumerate(batch_iter):
         batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
         latents = encode(vae_params, batch.pop("pixel_values"),
                          jax.random.fold_in(rng, 1000 + i))
         batch["latents"] = latents
         state, metrics = train_step(state, batch, rng)
-        opt_step, at_boundary = divmod(int(state.step), accum)
+        opt_step, at_boundary = divmod(start_micro + i + 1, accum)
         if at_boundary == 0:
             logger.log(opt_step, {k: float(v) for k, v in metrics.items()})
             if opt_step % 10 == 1 or opt_step == opt.max_train_steps:

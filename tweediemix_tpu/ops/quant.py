@@ -163,8 +163,8 @@ class QDense(nn.Module):
     Declares the exact same params as ``nn.Dense`` (fp32 ``kernel``
     [in, out] and optional ``bias`` [out]) so checkpoints, converters, and
     the param tree are unchanged; only the matmul arithmetic differs when
-    ``quant == "int8"``. With ``quant=None`` it reproduces ``nn.Dense``'s
-    compute (inputs and kernel cast to ``dtype``).
+    ``quant`` is "int8"/"int8_conv". With ``quant=None`` it reproduces
+    ``nn.Dense``'s compute (inputs and kernel cast to ``dtype``).
     """
 
     features: int

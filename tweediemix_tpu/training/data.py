@@ -150,3 +150,38 @@ def collate(rows: List[Dict[str, np.ndarray]], with_prior: bool) -> Dict[str, np
             [np.zeros(n_inst, np.float32), np.ones(b - n_inst, np.float32)]
         ),
     }
+
+
+def prefetch_batches(batches, depth: int = 2):
+    """Run a batch iterator on a background thread, ``depth`` batches ahead.
+
+    The reference gets this from torch ``DataLoader(num_workers=...)``;
+    here a single daemon thread decodes/augments/tokenizes the next batches
+    while the device executes the current step (PIL decode + the C++
+    augment kernel release the GIL, and jax device execution does too, so
+    one thread is enough to hide the host work). Exceptions on the worker
+    re-raise at the consuming ``next()``; iteration order is unchanged.
+    """
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def worker():
+        try:
+            for b in batches:
+                q.put(b)
+            q.put(_END)
+        except BaseException as e:  # propagate to the consumer
+            q.put(e)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
