@@ -142,13 +142,15 @@ def test_unet_quant_structure_and_output(cfg_kind, mode):
     assert c > 0.99, c
 
 
-def test_unet3d_quant_structure_and_output():
-    """The video UNet's quant="int8" contract: identical param tree, close
-    forward (same weights, int8 transformer matmuls)."""
+@pytest.mark.parametrize("mode", ["int8", "int8_conv"])
+def test_unet3d_quant_structure_and_output(mode):
+    """The video UNet's quant contract: identical param tree, close
+    forward (same weights, int8 transformer matmuls — and spatial
+    resnet/resample convs under int8_conv)."""
     from tweediemix_tpu.models.unet3d import UNet3DConditionModel, UNet3DConfig
 
     cfg = UNet3DConfig.tiny()
-    qcfg = UNet3DConfig.tiny(quant="int8")
+    qcfg = UNet3DConfig.tiny(quant=mode)
     unet, qunet = UNet3DConditionModel(cfg), UNet3DConditionModel(qcfg)
 
     key = jax.random.PRNGKey(0)
@@ -164,6 +166,46 @@ def test_unet3d_quant_structure_and_output():
     params = unet.init(key, *args)["params"]
     qparams = qunet.init(key, *args)["params"]
     assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(qparams)
+
+    ref = unet.apply({"params": params}, *args)
+    got = qunet.apply({"params": params}, *args)
+    rel = np.linalg.norm(np.asarray(got - ref)) / np.linalg.norm(np.asarray(ref))
+    assert rel < 0.15, rel
+    c = np.corrcoef(np.asarray(ref).ravel(), np.asarray(got).ravel())[0, 1]
+    assert c > 0.99, c
+
+
+def test_unet_quant_composes_with_lora():
+    """quant="int8" + LoRA slots: same param tree as the unquantized LoRA
+    UNet and a close forward (the LoRA deltas stay fp32 on top of the
+    int8 base matmuls — fusion_generation/utils_lora.py:65-79 semantics)."""
+    from tweediemix_tpu.models.unet2d import UNet2DConditionModel, UNetConfig
+
+    kw = dict(concept_slots=3, lora_slots=3, lora_rank=2)
+    cfg = UNetConfig.micro(**kw)
+    qcfg = UNetConfig.micro(quant="int8", **kw)
+    unet, qunet = UNet2DConditionModel(cfg), UNet2DConditionModel(qcfg)
+
+    key = jax.random.PRNGKey(0)
+    h = w = cfg.sample_size
+    sample = 0.3 * jax.random.normal(key, (2, h, w, 4))
+    ctx = 0.3 * jax.random.normal(jax.random.fold_in(key, 1),
+                                  (2, 9, cfg.cross_attention_dim))
+    pooled = 0.3 * jax.random.normal(jax.random.fold_in(key, 2),
+                                     (2, cfg.pooled_projection_dim))
+    tids = jnp.zeros((2, 6))
+    idx = jnp.array([0, 2], jnp.int32)
+    args = (sample, jnp.int32(5), ctx, pooled, tids, idx)
+
+    params = unet.init(key, *args)["params"]
+    qparams = qunet.init(key, *args)["params"]
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(qparams)
+    # make the (zero-init up) LoRA deltas non-trivial so the test actually
+    # exercises delta-on-top-of-quantized-base
+    params = jax.tree_util.tree_map_with_path(
+        lambda p, x: (0.05 * jax.random.normal(jax.random.PRNGKey(7), x.shape)
+                      if "lora_up" in "/".join(str(s) for s in p) else x),
+        params)
 
     ref = unet.apply({"params": params}, *args)
     got = qunet.apply({"params": params}, *args)
