@@ -235,13 +235,19 @@ def main():
         jax.clear_caches()
         gc.collect()
         sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
-        import bench_video
+        try:
+            import bench_video
 
-        vm = bench_video.measure()
-        result["video_metric"] = vm["metric"]
-        result["video_clip_s"] = vm["s_per_clip"]
-        result["video_frames_per_s"] = vm["frames_per_s"]
-        result["video_vs_baseline"] = round(240.0 / vm["s_per_clip"], 3)
+            vm = bench_video.measure()
+            result["video_metric"] = vm["metric"]
+            result["video_clip_s"] = vm["s_per_clip"]
+            result["video_frames_per_s"] = vm["frames_per_s"]
+            result["video_vs_baseline"] = round(240.0 / vm["s_per_clip"], 3)
+        except Exception as e:  # never lose the image metric over the rider
+            import traceback
+
+            traceback.print_exc(file=sys.stderr)
+            result["video_error"] = f"{type(e).__name__}: {e}"
 
     print(json.dumps(result))
     return 0
