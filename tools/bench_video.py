@@ -70,10 +70,14 @@ def measure() -> dict:
     )
 
     pipe = I2VPipeline(vid, unet, uparams, vae, vparams)
+    # TWEEDIEMIX_BENCH_CLIPS=N batches N independent clips through every
+    # forward (the BASELINE "seeds in parallel" layout on the video stage);
+    # s_per_clip amortizes. Default 1 = the reference run_video.py workload.
+    n_clips = int(os.environ.get("TWEEDIEMIX_BENCH_CLIPS", "1"))
     ctx = 0.1 * jax.random.normal(key, (1, ctx_len, ucfg.cross_attention_dim))
     uctx = jnp.zeros_like(ctx)
     img = jax.random.uniform(jax.random.fold_in(key, 1),
-                             (1, vid.height, vid.width, 3)) * 2.0 - 1.0
+                             (n_clips, vid.height, vid.width, 3)) * 2.0 - 1.0
     emb = 0.1 * jax.random.normal(jax.random.fold_in(key, 2),
                                   (1, 1, ucfg.cross_attention_dim))
 
@@ -88,9 +92,12 @@ def measure() -> dict:
     t0 = time.perf_counter()
     video = pipe.generate(ctx, uctx, img, emb, seed=1)
     sync(video)
-    dt = time.perf_counter() - t0
+    dt = (time.perf_counter() - t0) / n_clips
+    name = "i2v_16f_512_50step_s_per_clip" if on_tpu else "i2v_tiny_cpu_s_per_clip"
+    if n_clips > 1:
+        name += f"_clips{n_clips}"
     return {
-        "metric": "i2v_16f_512_50step_s_per_clip" if on_tpu else "i2v_tiny_cpu_s_per_clip",
+        "metric": name,
         "s_per_clip": round(dt, 2),
         "frames_per_s": round(vid.num_frames / dt, 3),
         "on_tpu": on_tpu,
