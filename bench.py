@@ -26,6 +26,7 @@ execute it; the recorded metric is only meaningful on TPU.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -48,13 +49,11 @@ def zeros_params(model, *example_args, dtype=None):
 
 
 def main():
-    import os as _env
-
     on_tpu = jax.default_backend() == "tpu"
     n_concepts = 3  # cat + dog + background (sample_catdog.sh:19)
     # TWEEDIEMIX_BENCH_QUANT=int8 measures the opt-in W8A8 serving mode
     # (ops/quant.py); default off — the headline stays bf16.
-    quant = _env.environ.get("TWEEDIEMIX_BENCH_QUANT") or None
+    quant = os.environ.get("TWEEDIEMIX_BENCH_QUANT") or None
 
     if on_tpu:
         ucfg = UNetConfig.sdxl(dtype=jnp.bfloat16, concept_slots=n_concepts + 1,
@@ -110,9 +109,7 @@ def main():
 
     # TWEEDIEMIX_BENCH_KV=0 drops the per-phase cross-attention K/V cache
     # (~0.5 ms/step benefit) to free its HBM for larger serving batches
-    import os as _os
-
-    if not int(_os.environ.get("TWEEDIEMIX_BENCH_KV", "1")):
+    if not int(os.environ.get("TWEEDIEMIX_BENCH_KV", "1")):
         kv_builder = None
 
     def rows(k, n):
@@ -179,8 +176,6 @@ def main():
     # over the 60/32 = 1.875 images/min/chip that budget implies
     # (docs/PERF.md has the full roofline argument).
     # TWEEDIEMIX_BENCH_SEEDS=0 skips the serving config (latency only).
-    import os
-
     n_seeds = int(os.environ.get("TWEEDIEMIX_BENCH_SEEDS", "4"))
     result = {}
     if n_seeds > 1:

@@ -233,3 +233,34 @@ def test_short_seq_attention_env_dispatch(monkeypatch):
     got = multi_head_attention(q, k, v, 2)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_short_seq_attention_strongly_negative_scores():
+    """Rows whose scores are all far below zero must still return a valid
+    softmax average (regression: the clamp-only kernel underflowed exp2 to
+    a zero output vector for such rows)."""
+    from tweediemix_tpu.ops.attention import split_heads
+    from tweediemix_tpu.ops.short_attention import short_seq_attention
+
+    n, s, heads, dh = 4, 16, 2, 8
+    key = jax.random.PRNGKey(0)
+    # anti-aligned q/k at large magnitude -> q.k*scale ~ -400 natural-log
+    q = 40.0 * jnp.ones((n, s, heads * dh))
+    k = -40.0 * jnp.ones((n, s, heads * dh)) * (
+        1.0 + 0.01 * jax.random.normal(key, (n, s, heads * dh)))
+    v = jax.random.normal(jax.random.fold_in(key, 1), (n, s, heads * dh))
+
+    got = short_seq_attention(q, k, v, heads, interpret=True)
+
+    qh = split_heads(q, heads)
+    kh = split_heads(k, heads)
+    vh = split_heads(v, heads)
+    scores = jnp.einsum("bqd,bkd->bqk", qh, kh) * (dh ** -0.5)
+    ref = jnp.einsum("bqk,bkd->bqd", jax.nn.softmax(scores, axis=-1), vh)
+    from tweediemix_tpu.ops.attention import merge_heads
+
+    ref = merge_heads(ref, heads)
+    assert np.all(np.isfinite(np.asarray(got)))
+    # softmax output is a convex combination of v rows — never all-zero
+    assert np.abs(np.asarray(got)).max() > 1e-3
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-2)

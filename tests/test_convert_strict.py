@@ -242,3 +242,84 @@ def test_validate_params_tree_catches_drift():
     assert "missing: b/bias" in msg
     assert "unexpected: c/kernel" in msg
     assert "shape mismatch: a/kernel" in msg
+
+
+def test_load_path_validators_accept_correct_trees():
+    """Every validate_*_params helper used on the real-weights CLI load
+    paths must accept a correctly-shaped tree — including the REAL
+    configs' structural constraints (the i2vgen probe must respect
+    context_pool_size; regression for a probe-latent bug that aborted
+    run_video --model_dir on valid checkpoints)."""
+    import jax
+
+    from tweediemix_tpu.models.clip import (
+        CLIPTextConfig,
+        CLIPTextModel,
+        CLIPVisionConfig,
+        CLIPVisionModel,
+    )
+    from tweediemix_tpu.models.convert import (
+        validate_clip_params,
+        validate_clip_vision_params,
+        validate_unet3d_params,
+        validate_unet_params,
+        validate_vae_params,
+    )
+    from tweediemix_tpu.models.unet2d import UNet2DConditionModel, UNetConfig
+    from tweediemix_tpu.models.unet3d import UNet3DConditionModel, UNet3DConfig
+    from tweediemix_tpu.models.vae import AutoencoderKL, VAEConfig
+
+    def zeros_like_init(model, *args):
+        shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), *args)["params"]
+        return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+
+    tcfg = CLIPTextConfig.tiny()
+    validate_clip_params(
+        tcfg,
+        zeros_like_init(CLIPTextModel(tcfg), jnp.zeros((1, 8), jnp.int32)),
+    )
+
+    vccfg = CLIPVisionConfig.tiny()
+    validate_clip_vision_params(
+        vccfg,
+        zeros_like_init(
+            CLIPVisionModel(vccfg),
+            jnp.zeros((1, vccfg.image_size, vccfg.image_size, 3)),
+        ),
+    )
+
+    ucfg = UNetConfig.micro()
+    h = ucfg.sample_size
+    validate_unet_params(
+        ucfg,
+        zeros_like_init(
+            UNet2DConditionModel(ucfg),
+            jnp.zeros((1, h, h, 4)), jnp.int32(1),
+            jnp.zeros((1, 8, ucfg.cross_attention_dim)),
+            jnp.zeros((1, ucfg.pooled_projection_dim)), jnp.zeros((1, 6)),
+        ),
+    )
+
+    vcfg = VAEConfig.tiny()
+    validate_vae_params(
+        vcfg,
+        zeros_like_init(
+            AutoencoderKL(vcfg), jnp.zeros((1, 32, 32, 3)), jax.random.PRNGKey(1)
+        ),
+    )
+
+    # the REAL i2vgen config via eval_shape only (no compute — cheap on CPU)
+    u3cfg = UNet3DConfig.i2vgen()
+    s = u3cfg.context_pool_size
+    shapes = jax.eval_shape(
+        UNet3DConditionModel(u3cfg).init, jax.random.PRNGKey(0),
+        jax.ShapeDtypeStruct((1, 2, s, s, 4), jnp.float32),
+        jax.ShapeDtypeStruct((), jnp.int32),
+        jax.ShapeDtypeStruct((1, 6, u3cfg.cross_attention_dim), jnp.float32),
+        jax.ShapeDtypeStruct((1, 2, s, s, 4), jnp.float32),
+        jax.ShapeDtypeStruct((1, 1, u3cfg.cross_attention_dim), jnp.float32),
+        jax.ShapeDtypeStruct((), jnp.float32),
+    )["params"]
+    validate_unet3d_params(
+        u3cfg, jax.tree.map(lambda sd: jnp.zeros(sd.shape, sd.dtype), shapes)
+    )

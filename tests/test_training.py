@@ -638,3 +638,26 @@ def test_cli_train_vae_encode_bf16(tmp_path, image_dirs):
     ])
     assert rc == 0
     assert list(out.glob("delta-*.bin"))
+
+
+def test_prefetch_batches_worker_exits_when_abandoned():
+    """Abandoning the consumer (break/exception in the train loop) must
+    release the worker thread instead of leaving it blocked on a full
+    queue holding decoded batches alive."""
+    import threading
+    import time as _time
+
+    from tweediemix_tpu.training.data import prefetch_batches
+
+    before = {t.ident for t in threading.enumerate()}
+    gen = prefetch_batches(iter(range(100)), depth=1)
+    assert next(gen) == 0
+    gen.close()  # abandon mid-iteration
+    deadline = _time.time() + 5.0
+    while _time.time() < deadline:
+        workers = [t for t in threading.enumerate()
+                   if t.ident not in before and t.is_alive()]
+        if not workers:
+            break
+        _time.sleep(0.1)
+    assert not workers, "prefetch worker still alive after consumer close"

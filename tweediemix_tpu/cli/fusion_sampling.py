@@ -172,6 +172,44 @@ def load_fg_masks_from_dir(mask_dir, seg_concepts, h, w):
     return np.stack(masks)
 
 
+def resolve_segment_fn(opt):
+    """Resolve the seg preset and build the boundary-step segment fn.
+
+    Shared by ``cli/fusion_sampling`` and ``cli/serve`` so their behavior
+    cannot drift: real weights supplied → "sam" (like the reference);
+    exactly one of --sam_checkpoint/--detector_dir without an explicit
+    --seg_preset is an error, not a silent heuristic fallback. Mutates
+    ``opt.seg_preset`` in place. Returns None when --mask_dir supplies
+    precomputed masks (or no seg concepts are configured).
+    """
+    if opt.seg_preset is None:
+        # real weights supplied → real segmentation, like the reference
+        opt.seg_preset = (
+            "sam" if (opt.sam_checkpoint and opt.detector_dir) else "heuristic"
+        )
+        if bool(opt.sam_checkpoint) != bool(opt.detector_dir):
+            given, missing = (
+                ("--sam_checkpoint", "--detector_dir")
+                if opt.sam_checkpoint else ("--detector_dir", "--sam_checkpoint")
+            )
+            raise SystemExit(
+                f"{given} was supplied without {missing}: the sam preset "
+                f"needs both (detector→box→SAM, lang_sam.py:20-24). Pass "
+                f"both, or set --seg_preset heuristic explicitly to run "
+                f"without model weights."
+            )
+    if opt.mask_dir is None and opt.seg_concepts:
+        # fail fast: without masks the sampler would die mid-trajectory
+        from tweediemix_tpu.segmentation import make_segment_fn
+
+        return make_segment_fn(
+            opt.seg_concepts, opt.output_path, opt.seg_preset,
+            sam_checkpoint=opt.sam_checkpoint, detector_dir=opt.detector_dir,
+            box_threshold=opt.box_threshold,
+        )
+    return None
+
+
 def main(argv=None) -> int:
     opt = build_parser().parse_args(argv)
     out_all = opt.output_path_all or opt.output_path
@@ -215,32 +253,7 @@ def main(argv=None) -> int:
         num_concepts=n,
     )
 
-    segment_fn = None
-    if opt.seg_preset is None:
-        # real weights supplied → real segmentation, like the reference
-        opt.seg_preset = (
-            "sam" if (opt.sam_checkpoint and opt.detector_dir) else "heuristic"
-        )
-        if bool(opt.sam_checkpoint) != bool(opt.detector_dir):
-            given, missing = (
-                ("--sam_checkpoint", "--detector_dir")
-                if opt.sam_checkpoint else ("--detector_dir", "--sam_checkpoint")
-            )
-            raise SystemExit(
-                f"{given} was supplied without {missing}: the sam preset "
-                f"needs both (detector→box→SAM, lang_sam.py:20-24). Pass "
-                f"both, or set --seg_preset heuristic explicitly to run "
-                f"without model weights."
-            )
-    if opt.mask_dir is None and opt.seg_concepts:
-        # fail fast: without masks the sampler would die mid-trajectory
-        from tweediemix_tpu.segmentation import make_segment_fn
-
-        segment_fn = make_segment_fn(
-            opt.seg_concepts, opt.output_path, opt.seg_preset,
-            sam_checkpoint=opt.sam_checkpoint, detector_dir=opt.detector_dir,
-            box_threshold=opt.box_threshold,
-        )
+    segment_fn = resolve_segment_fn(opt)
 
     pipe = TweedieMixPipeline.from_concept_checkpoints(
         base_unet_params=uparams,

@@ -70,19 +70,9 @@ def make_pipeline(opt):
         resampling_steps=opt.resampling_steps, jumping_steps=opt.jumping_steps,
         height=opt.resolution_h, width=opt.resolution_w, num_concepts=n,
     )
-    segment_fn = None
-    if opt.seg_preset is None:
-        opt.seg_preset = (
-            "sam" if (opt.sam_checkpoint and opt.detector_dir) else "heuristic"
-        )
-    if opt.mask_dir is None and opt.seg_concepts:
-        from tweediemix_tpu.segmentation import make_segment_fn
+    from tweediemix_tpu.cli.fusion_sampling import resolve_segment_fn
 
-        segment_fn = make_segment_fn(
-            opt.seg_concepts, opt.output_path, opt.seg_preset,
-            sam_checkpoint=opt.sam_checkpoint, detector_dir=opt.detector_dir,
-            box_threshold=opt.box_threshold,
-        )
+    segment_fn = resolve_segment_fn(opt)
     return TweedieMixPipeline.from_concept_checkpoints(
         base_unet_params=uparams, checkpoints=checkpoints,
         modifier_tokens=opt.modifier_token.split("+"), unet_cfg=ucfg,

@@ -21,6 +21,7 @@ import os
 import re
 from typing import Dict, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import traverse_util
@@ -212,10 +213,14 @@ def validate_unet3d_params(cfg, params) -> None:
     from tweediemix_tpu.models.unet3d import UNet3DConditionModel
 
     model = UNet3DConditionModel(cfg)
+    # probe latents must satisfy the model's own H/W >= context_pool_size
+    # assertion (32 for the real i2vgen config); params are spatial-size
+    # independent so any legal size validates the same tree
+    s = max(16, cfg.context_pool_size)
     shapes = jax.eval_shape(
         model.init, jax.random.PRNGKey(0),
-        _S((1, 2, 16, 16, 4)), _S((), jnp.int32),
-        _S((1, 6, cfg.cross_attention_dim)), _S((1, 2, 16, 16, 4)),
+        _S((1, 2, s, s, 4)), _S((), jnp.int32),
+        _S((1, 6, cfg.cross_attention_dim)), _S((1, 2, s, s, 4)),
         _S((1, 1, cfg.cross_attention_dim)), _S(()),
     )["params"]
     _validate_shapes_only(params, shapes, "i2v_unet")

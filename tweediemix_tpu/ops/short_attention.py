@@ -22,9 +22,10 @@ VPU economy (the first cut of this kernel lost to XLA by spending ~500
 VPU cycles per group on max/exp/sum/div over the 8x-masked tile):
 * softmax scale and the exp->exp2 base change are folded into q on the
   host side; no per-tile scale multiply;
-* no running/rowwise max: scores are clamped at +100 in the log2 domain
-  (safe for anything short of exp overflow; softmax is shift-invariant so
-  the result only differs by fp rounding);
+* one rowwise max (needed for correctness: all-strongly-negative rows
+  would underflow exp2 to a zero vector otherwise) plus a +100 log2
+  clamp as an overflow belt; no separate sub pass — the shift fuses into
+  the exp2 input;
 * the denominator rides the p@v matmul in a ones-column of v (same trick
   as ops/flash_attention.py) when dh % 128 != 0, and normalization is a
   reciprocal multiply.
@@ -67,7 +68,14 @@ def _short_kernel(
         s = jax.lax.dot_general(
             qg, kg, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        p = jnp.exp2(jnp.minimum(s + mask, _CLAMP)).astype(vg.dtype)
+        sm = s + mask
+        # rowwise max keeps softmax shift-invariant: without it, rows whose
+        # real scores are all <= -126 in the log2 domain underflow exp2 to
+        # zero and the floored denominator returns a zero vector instead of
+        # a weighted average (every row has >= 1 in-band entry, so the max
+        # is finite). The +100 clamp stays as an overflow belt.
+        m = jnp.max(sm, axis=1, keepdims=True)
+        p = jnp.exp2(jnp.minimum(sm - m, _CLAMP)).astype(vg.dtype)
         ov = jax.lax.dot_general(
             p, vg, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )

@@ -167,21 +167,38 @@ def prefetch_batches(batches, depth: int = 2):
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     _END = object()
+    stop = threading.Event()
+
+    def put(item) -> bool:
+        # bounded put so an abandoned consumer (exception/break in the
+        # train loop) can't leave the worker blocked forever holding the
+        # dataset and `depth` decoded batches alive
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.5)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for b in batches:
-                q.put(b)
-            q.put(_END)
+                if not put(b):
+                    return
+            put(_END)
         except BaseException as e:  # propagate to the consumer
-            q.put(e)
+            put(e)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
