@@ -47,6 +47,59 @@ def test_mask_semantics():
     np.testing.assert_allclose(canvas[16 + 5, 32 + 5], 1.0, atol=1e-2)
 
 
+def test_resize_crop_normalize_matches_numpy():
+    from tweediemix_tpu.native.build import _bilinear_np, resize_crop_normalize, resized_dims
+
+    rng = np.random.RandomState(1)
+    for ih, iw, size, cy, cx in [(96, 80, 64, 3, 0), (64, 192, 64, 0, 40), (50, 50, 64, 0, 0)]:
+        img = rng.randint(0, 255, (ih, iw, 3), np.uint8)
+        got = resize_crop_normalize(img, size, cy, cx)
+        th, tw = resized_dims(ih, iw, size)
+        cy2, cx2 = min(cy, th - size), min(cx, tw - size)
+        want = (_bilinear_np(img, th, tw)[cy2:cy2 + size, cx2:cx2 + size]
+                / 127.5 - 1.0).astype(np.float32)
+        assert got.shape == (size, size, 3)
+        np.testing.assert_allclose(got, want, atol=2e-3)
+
+
+def test_class_transform_preserves_aspect_and_center_crops(image_dirs, tmp_path):
+    """The reference class transform is shorter-side Resize + crop
+    (diffusers_data_pipeline_xl.py:120-128), NOT a squash to size². A wide
+    image whose middle square is white must center-crop to all-white."""
+    from PIL import Image
+
+    from tweediemix_tpu.training.data import ConceptSpec, CustomDiffusionDataset
+    from tweediemix_tpu.utils.tokenizer import HashTokenizer
+
+    inst, _ = image_dirs
+    cls = tmp_path / "wide_cls"
+    cls.mkdir()
+    wide = np.zeros((64, 192, 3), np.uint8)
+    wide[:, 64:128] = 255
+    Image.fromarray(wide).save(cls / "0.png")
+
+    ds = CustomDiffusionDataset(
+        [ConceptSpec(inst, "a <new1> cat", str(cls), "a cat")],
+        HashTokenizer(), HashTokenizer(), size=64,
+        with_prior_preservation=True, center_crop=True, seed=0,
+    )
+    row = ds.example(0)
+    np.testing.assert_allclose(row["class_pixel_values"], 1.0, atol=1e-2)
+    # random crop (center_crop=False) stays within the resized bounds and in range
+    ds2 = CustomDiffusionDataset(
+        [ConceptSpec(inst, "a <new1> cat", str(cls), "a cat")],
+        HashTokenizer(), HashTokenizer(), size=64,
+        with_prior_preservation=True, center_crop=False, seed=3,
+    )
+    vals = ds2.example(0)["class_pixel_values"]
+    assert vals.shape == (64, 64, 3)
+    assert vals.min() >= -1.0 and vals.max() <= 1.0
+    # every random-crop column is a full-height slice of the source: each
+    # column is uniformly black or white, never a blend
+    col_means = vals.mean(axis=(0, 2))
+    assert np.all((np.abs(col_means - 1.0) < 2e-2) | (np.abs(col_means + 1.0) < 2e-2))
+
+
 @pytest.fixture
 def image_dirs(tmp_path):
     from PIL import Image

@@ -59,6 +59,13 @@ def build_parser():
     p.add_argument("--gradient_accumulation_steps", type=int, default=1)
     p.add_argument("--learning_rate", type=float, default=1e-5)
     p.add_argument("--scale_lr", action="store_true")
+    p.add_argument("--lr_scheduler", type=str, default="constant",
+                   choices=["constant", "constant_with_warmup", "linear",
+                            "cosine", "cosine_with_restarts", "polynomial"],
+                   help="lr schedule over optimizer steps "
+                        "(diffusers_training_xl_new.py:354-359)")
+    p.add_argument("--lr_warmup_steps", type=int, default=500,
+                   help="warmup optimizer steps for --lr_scheduler (:363)")
     p.add_argument("--max_grad_norm", type=float, default=1.0)
     p.add_argument("--adam_weight_decay", type=float, default=1e-2)
     p.add_argument("--adam_beta1", type=float, default=0.9)
@@ -82,6 +89,21 @@ def build_parser():
     p.add_argument("--modifier_token", type=str, default=None, help="'+'-separated")
     p.add_argument("--initializer_token", type=str, default="ktn+pll+ucd")
     p.add_argument("--hflip", action="store_true")
+    p.add_argument("--center_crop", action="store_true",
+                   help="center- instead of random-crop class/prior images "
+                        "after the shorter-side resize "
+                        "(diffusers_data_pipeline_xl.py:124)")
+    p.add_argument("--pretrained_vae_model_name_or_path", type=str, default=None,
+                   help="separate VAE dir (e.g. the fp16-fix VAE) used for "
+                        "latent encoding instead of MODEL_DIR/vae "
+                        "(diffusers_training_xl_new.py:670-675)")
+    p.add_argument("--dataloader_num_workers", type=int, default=2,
+                   help="0 loads batches synchronously on the main thread; "
+                        ">=1 decodes/augments on a prefetch worker thread "
+                        "(the torch DataLoader(num_workers=...) equivalent — "
+                        "one thread suffices here because PIL, the C++ "
+                        "augment kernel, and device execution all release "
+                        "the GIL; the value sets the prefetch depth)")
     p.add_argument("--gradient_checkpointing", action="store_true",
                    help="remat UNet resnet/transformer blocks in backward "
                         "(singleconcept_train.sh:20)")
@@ -91,7 +113,52 @@ def build_parser():
     p.add_argument("--resume_step", type=int, default=None)
     p.add_argument("--report_to", type=str, default="none",
                    help="'none' or a directory for JSONL/TensorBoard metrics")
+    p.add_argument("--logging_dir", type=str, default=None,
+                   help="metrics directory (the reference's accelerate "
+                        "tensorboard dir); used when --report_to is 'none'")
+    # Reference flags accepted for drop-in script compatibility but inert on
+    # TPU (a warning is printed when one is set to a non-default value):
+    #  - mixed_precision / prior_generation_precision / allow_tf32: compute
+    #    dtypes are bf16 params + fp32 scheduler/VAE natively (PARITY §2.4);
+    #  - enable_xformers_memory_efficient_attention: the Pallas flash kernel
+    #    is always on;
+    #  - local_rank: jit sharding replaces torch.distributed (use --dp_devices);
+    #  - push_to_hub/hub_token/hub_model_id/revision/tokenizer_name: no
+    #    network egress in this environment, checkpoints are local dirs;
+    #  - validation_prompt/num_validation_images: the reference's validation
+    #    block is commented out (diffusers_training_xl_new.py:1122-1146).
+    for flag, default in _COMPAT_FLAGS.items():
+        if default is False:
+            p.add_argument(flag, action="store_true", help=argparse.SUPPRESS)
+        else:
+            p.add_argument(flag, type=type(default) if default is not None else str,
+                           default=default, help=argparse.SUPPRESS)
     return p
+
+
+_COMPAT_FLAGS = {
+    "--mixed_precision": None,
+    "--prior_generation_precision": None,
+    "--allow_tf32": False,
+    "--enable_xformers_memory_efficient_attention": False,
+    "--local_rank": -1,
+    "--push_to_hub": False,
+    "--hub_token": None,
+    "--hub_model_id": None,
+    "--revision": None,
+    "--tokenizer_name": None,
+    "--validation_prompt": None,
+    "--num_validation_images": 4,
+}
+
+
+def _warn_compat_flags(opt):
+    for flag, default in _COMPAT_FLAGS.items():
+        name = flag.lstrip("-")
+        if getattr(opt, name) != default:
+            print(f"warning: --{name} is accepted for reference-script "
+                  f"compatibility but has no effect on TPU (see cli/train.py)",
+                  file=sys.stderr)
 
 
 def _vae_dtype(opt):
@@ -102,6 +169,9 @@ def _vae_dtype(opt):
 
 def main(argv=None) -> int:
     opt = build_parser().parse_args(argv)
+    _warn_compat_flags(opt)
+    if opt.logging_dir and opt.report_to == "none":
+        opt.report_to = opt.logging_dir
     os.makedirs(opt.output_dir, exist_ok=True)
 
     import jax
@@ -198,7 +268,10 @@ def main(argv=None) -> int:
         te1_params = load_clip_params(os.path.join(d, "text_encoder"), dtype=jnp.bfloat16)
         te2_params = load_clip_params(os.path.join(d, "text_encoder_2"), dtype=jnp.bfloat16)
         vae = AutoencoderKL(vcfg)
-        vae_params = load_vae_params(os.path.join(d, "vae"))
+        # --pretrained_vae_model_name_or_path points at a standalone VAE dir
+        # (e.g. the fp16-fix VAE, reference :670-675); default MODEL_DIR/vae
+        vae_params = load_vae_params(
+            opt.pretrained_vae_model_name_or_path or os.path.join(d, "vae"))
         unet = UNet2DConditionModel(ucfg)
         unet_params = load_unet_params(os.path.join(d, "unet"), dtype=jnp.bfloat16)
         from tweediemix_tpu.models.convert import (
@@ -300,7 +373,8 @@ def main(argv=None) -> int:
     ds = CustomDiffusionDataset(
         concepts, tok1, tok2, size=opt.resolution,
         with_prior_preservation=opt.with_prior_preservation,
-        num_class_images=opt.num_class_images, hflip=opt.hflip, seed=opt.seed,
+        num_class_images=opt.num_class_images, hflip=opt.hflip,
+        center_crop=opt.center_crop, seed=opt.seed,
         latent_factor=latent_factor,
     )
 
@@ -317,9 +391,24 @@ def main(argv=None) -> int:
         print(f"data parallelism over {n_dev} devices "
               f"(global batch {opt.train_batch_size * n_dev})")
 
+    accum = opt.gradient_accumulation_steps
+    if not opt.max_train_steps:
+        # reference: epochs × ceil(len(dataloader)/accum) (:900-903)
+        import math
+
+        per_epoch = math.ceil(math.ceil(len(ds) / (opt.train_batch_size * n_dev)) / accum)
+        opt.max_train_steps = opt.num_train_epochs * per_epoch
+        print(f"max_train_steps derived from {opt.num_train_epochs} epochs: "
+              f"{opt.max_train_steps}")
+
     lr = opt.learning_rate
     if opt.scale_lr:
         lr *= opt.gradient_accumulation_steps * opt.train_batch_size * n_dev
+    if opt.lr_scheduler != "constant":
+        from tweediemix_tpu.training.lr_schedules import get_lr_schedule
+
+        lr = get_lr_schedule(opt.lr_scheduler, lr, opt.lr_warmup_steps,
+                             opt.max_train_steps)
     tcfg = TrainConfig(
         learning_rate=lr,
         max_grad_norm=opt.max_grad_norm,
@@ -395,15 +484,6 @@ def main(argv=None) -> int:
     # state.step counts micro (accumulation) steps; user-facing step counts,
     # save cadence, and checkpoint names are in optimizer steps like the
     # reference's global_step (diffusers_training_xl_new.py:1071-1098)
-    accum = opt.gradient_accumulation_steps
-    if not opt.max_train_steps:
-        # reference: epochs × ceil(len(dataloader)/accum) (:900-903)
-        import math
-
-        per_epoch = math.ceil(math.ceil(len(ds) / (opt.train_batch_size * n_dev)) / accum)
-        opt.max_train_steps = opt.num_train_epochs * per_epoch
-        print(f"max_train_steps derived from {opt.num_train_epochs} epochs: "
-              f"{opt.max_train_steps}")
     rng = jax.random.PRNGKey(opt.seed)
     start_micro = int(state.step)
     start_opt_step = start_micro // accum
@@ -414,8 +494,9 @@ def main(argv=None) -> int:
     # that stalls dispatch and serializes data loading with compute.
     from tweediemix_tpu.training.data import prefetch_batches
 
-    batch_iter = prefetch_batches(
-        ds.batches(opt.train_batch_size * n_dev, micro_steps))
+    batch_iter = ds.batches(opt.train_batch_size * n_dev, micro_steps)
+    if opt.dataloader_num_workers > 0:
+        batch_iter = prefetch_batches(batch_iter, depth=opt.dataloader_num_workers)
     for i, batch_np in enumerate(batch_iter):
         batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
         latents = encode(vae_params, batch.pop("pixel_values"),

@@ -70,18 +70,25 @@ void paste_augment(const uint8_t* src, int ih, int iw,
     for (int x = mx0; x < mx1; ++x) mask[y * mask_size + x] = 1.0f;
 }
 
-// Plain center-crop-free resize + normalize for class/prior images
-// (reference preprocess(): resize to size x size, normalize, full mask).
-void resize_normalize(const uint8_t* src, int ih, int iw, int size, float* out) {
-  const float sy = ih > 1 ? static_cast<float>(ih - 1) / std::max(size - 1, 1) : 0.f;
-  const float sx = iw > 1 ? static_cast<float>(iw - 1) / std::max(size - 1, 1) : 0.f;
+// Shorter-side resize + crop + normalize for class/prior images
+// (reference image_transforms, diffusers_data_pipeline_xl.py:120-128:
+// Resize(size) keeps aspect with the shorter side = size, then
+// RandomCrop/CenterCrop(size)). (th x tw) are the resized dims; the crop
+// window starts at (cy, cx) in resized coordinates. Bilinear samples are
+// taken directly from the source so the crop never materializes the full
+// resized image.
+void resize_crop_normalize(const uint8_t* src, int ih, int iw,
+                           int th, int tw, int cy, int cx, int size,
+                           float* out) {
+  const float sy = ih > 1 ? static_cast<float>(ih - 1) / std::max(th - 1, 1) : 0.f;
+  const float sx = iw > 1 ? static_cast<float>(iw - 1) / std::max(tw - 1, 1) : 0.f;
   for (int y = 0; y < size; ++y) {
-    const float fy = y * sy;
+    const float fy = std::min(y + cy, th - 1) * sy;
     const int iy = static_cast<int>(fy);
     const int iy1 = std::min(iy + 1, ih - 1);
     const float wy = fy - iy;
     for (int x = 0; x < size; ++x) {
-      const float fx = x * sx;
+      const float fx = std::min(x + cx, tw - 1) * sx;
       const int ix = static_cast<int>(fx);
       const int ix1 = std::min(ix + 1, iw - 1);
       const float wx = fx - ix;

@@ -49,8 +49,12 @@ def get_augment_lib():
             f32p, f32p, ctypes.c_int,
         ]
         lib.paste_augment.restype = None
-        lib.resize_normalize.argtypes = [u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, f32p]
-        lib.resize_normalize.restype = None
+        lib.resize_crop_normalize.argtypes = [
+            u8p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            f32p,
+        ]
+        lib.resize_crop_normalize.restype = None
         _LIB = lib
         return _LIB
 
@@ -105,10 +109,27 @@ def _paste_augment_np(img, th, tw, oy, ox, size, mask_size):
     return canvas, mask
 
 
-def resize_normalize(img: np.ndarray, size: int) -> np.ndarray:
+def resized_dims(ih: int, iw: int, size: int) -> tuple:
+    """Shorter-side-= ``size`` resize dims (torchvision ``Resize(int)``)."""
+    if ih <= iw:
+        return size, max(size, round(iw * size / max(ih, 1)))
+    return max(size, round(ih * size / max(iw, 1))), size
+
+
+def resize_crop_normalize(img: np.ndarray, size: int, cy: int, cx: int) -> np.ndarray:
+    """Shorter-side resize to ``size``, crop a size² window at (cy, cx) in
+    resized coordinates, normalize to [-1, 1]. The reference class-image
+    transform (diffusers_data_pipeline_xl.py:120-128)."""
+    th, tw = resized_dims(img.shape[0], img.shape[1], size)
+    cy = int(np.clip(cy, 0, th - size))
+    cx = int(np.clip(cx, 0, tw - size))
     out = np.empty((size, size, 3), np.float32)
     lib = get_augment_lib()
     if lib is not None:
-        lib.resize_normalize(np.ascontiguousarray(img), img.shape[0], img.shape[1], size, out)
+        lib.resize_crop_normalize(
+            np.ascontiguousarray(img), img.shape[0], img.shape[1],
+            th, tw, cy, cx, size, out,
+        )
         return out
-    return (_bilinear_np(img, size, size) / 127.5 - 1.0).astype(np.float32)
+    resized = _bilinear_np(img, th, tw)
+    return (resized[cy:cy + size, cx:cx + size] / 127.5 - 1.0).astype(np.float32)

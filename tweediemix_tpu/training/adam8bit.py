@@ -116,15 +116,18 @@ def scale_by_adam8bit(b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8):
 
 
 def adamw8bit(
-    learning_rate: float,
+    learning_rate,
     b1: float = 0.9,
     b2: float = 0.999,
     eps: float = 1e-8,
     weight_decay: float = 1e-2,
 ) -> optax.GradientTransformation:
-    """Drop-in ``optax.adamw`` replacement with int8 moment state."""
+    """Drop-in ``optax.adamw`` replacement with int8 moment state.
+
+    ``learning_rate`` may be a float or an optax schedule (``step -> lr``),
+    same contract as ``optax.adamw``."""
     return optax.chain(
         scale_by_adam8bit(b1=b1, b2=b2, eps=eps),
         optax.add_decayed_weights(weight_decay),
-        optax.scale(-learning_rate),
+        optax.scale_by_learning_rate(learning_rate),
     )

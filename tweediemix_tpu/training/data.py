@@ -9,7 +9,9 @@ Rebuild of ``concept_training/diffusers_data_pipeline_xl.py``:
   scale in [size//3, size], pasted at a random offset on a black size²
   canvas, with a latent-res (size/8) validity mask shrunk by one latent
   pixel per side (reference :155-176 and ``preprocess`` :18-22);
-* class/prior rows: plain resize+normalize with an all-ones mask (:207-213);
+* class/prior rows: optional hflip, shorter-side resize to ``size``, then a
+  random crop (center crop with ``center_crop=True``) and an all-ones mask —
+  the reference's ``image_transforms`` (:118-128, :207-213);
 * ``latent_factor`` generalizes the reference's hardcoded /8 to the VAE's
   actual downscale factor (tiny test VAEs use 2);
 * collate concatenates instance rows then class rows so prior preservation
@@ -29,7 +31,7 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-from tweediemix_tpu.native.build import paste_augment, resize_normalize
+from tweediemix_tpu.native.build import paste_augment, resize_crop_normalize, resized_dims
 
 
 @dataclasses.dataclass
@@ -57,6 +59,7 @@ class CustomDiffusionDataset:
         with_prior_preservation: bool = True,
         num_class_images: int = 200,
         hflip: bool = False,
+        center_crop: bool = False,
         seed: int = 0,
         latent_factor: int = 8,
     ):
@@ -66,6 +69,7 @@ class CustomDiffusionDataset:
         self.tok1 = tokenizer_one
         self.tok2 = tokenizer_two
         self.hflip = hflip
+        self.center_crop = center_crop
         self.rng = np.random.default_rng(seed)
 
         self.instance = []
@@ -113,7 +117,16 @@ class CustomDiffusionDataset:
         }
         if self.with_prior and self.cls:
             cpath, cprompt = self.cls[index % len(self.cls)]
-            out["class_pixel_values"] = resize_normalize(self._load(cpath), self.size)
+            cimg = self._load(cpath)
+            if self.hflip and self.rng.random() < 0.5:
+                cimg = cimg[:, ::-1]
+            th, tw = resized_dims(cimg.shape[0], cimg.shape[1], self.size)
+            if self.center_crop:
+                cy, cx = (th - self.size) // 2, (tw - self.size) // 2
+            else:
+                cy = int(self.rng.integers(0, th - self.size + 1))
+                cx = int(self.rng.integers(0, tw - self.size + 1))
+            out["class_pixel_values"] = resize_crop_normalize(cimg, self.size, cy, cx)
             out["class_mask"] = np.ones_like(mask)
             out["class_ids_one"] = np.asarray(self.tok1(cprompt)[0], np.int32)
             out["class_ids_two"] = np.asarray(self.tok2(cprompt)[0], np.int32)
