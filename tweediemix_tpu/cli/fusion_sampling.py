@@ -49,6 +49,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--crops_coords_top_left_w", type=int, default=0)
     p.add_argument("--resolution_h", type=int, default=1024)
     p.add_argument("--resolution_w", type=int, default=1024)
+    # Reference flags accepted for drop-in sample_*.sh compatibility but
+    # inert here: device placement is jit sharding (--mesh_devices), and the
+    # segmentation stage runs in-process on the mesh instead of on a second
+    # GPU via subprocess (fusion_sampling.py:458-459, sample_catdog.sh:5-7).
+    p.add_argument("--device", type=str, default=None, help=argparse.SUPPRESS)
+    p.add_argument("--seg_gpu", type=int, default=None, help=argparse.SUPPRESS)
     # TPU-rebuild additions
     p.add_argument("--mode", type=str, default="cd", choices=["cd", "lora"])
     p.add_argument("--model_dir", type=str, default=None,
@@ -212,6 +218,12 @@ def resolve_segment_fn(opt):
 
 def main(argv=None) -> int:
     opt = build_parser().parse_args(argv)
+    for name in ("device", "seg_gpu"):
+        if getattr(opt, name) is not None:
+            print(f"warning: --{name} is accepted for reference-script "
+                  f"compatibility but has no effect on TPU (device placement "
+                  f"is jit sharding; segmentation runs in-process)",
+                  file=sys.stderr)
     out_all = opt.output_path_all or opt.output_path
     os.makedirs(opt.output_path, exist_ok=True)
     os.makedirs(out_all, exist_ok=True)
