@@ -62,6 +62,20 @@ def test_resize_crop_normalize_matches_numpy():
         np.testing.assert_allclose(got, want, atol=2e-3)
 
 
+def test_resized_dims_truncates_like_torchvision():
+    """torchvision Resize(int) computes the long side as
+    int(size * long / short) — truncation, not rounding
+    (torchvision _compute_resized_output_size). 96x127 at size=64:
+    64*127/96 = 84.67 → 84, where round() would give 85."""
+    from tweediemix_tpu.native.build import resized_dims
+
+    assert resized_dims(96, 127, 64) == (64, 84)
+    assert resized_dims(127, 96, 64) == (84, 64)
+    assert resized_dims(50, 50, 64) == (64, 64)
+    # long side can never truncate below `size` (long >= short)
+    assert resized_dims(97, 96, 64) == (int(64 * 97 / 96), 64)
+
+
 def test_class_transform_preserves_aspect_and_center_crops(image_dirs, tmp_path):
     """The reference class transform is shorter-side Resize + crop
     (diffusers_data_pipeline_xl.py:120-128), NOT a squash to size². A wide

@@ -177,7 +177,9 @@ def main():
             if micro % args.accum == 0:
                 # the logger fetch at every optimizer-step boundary
                 _ = {k: float(v) for k, v in last_metrics.items()}
-        jax.block_until_ready(last_metrics["loss"])
+        # host fetch, not block_until_ready — the only reliable timing
+        # barrier through the tunneled backend (CLAUDE.md)
+        _ = float(jax.device_get(last_metrics["loss"]))
         dt = (time.time() - t0) / n_steps
         if warm:
             print(f"RESULT prefetch={use_prefetch} sync_counter={sync_counter} "

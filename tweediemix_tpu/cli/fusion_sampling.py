@@ -216,24 +216,17 @@ def resolve_segment_fn(opt):
     return None
 
 
-def main(argv=None) -> int:
-    opt = build_parser().parse_args(argv)
-    for name in ("device", "seg_gpu"):
-        if getattr(opt, name) is not None:
-            print(f"warning: --{name} is accepted for reference-script "
-                  f"compatibility but has no effect on TPU (device placement "
-                  f"is jit sharding; segmentation runs in-process)",
-                  file=sys.stderr)
-    out_all = opt.output_path_all or opt.output_path
-    os.makedirs(opt.output_path, exist_ok=True)
-    os.makedirs(out_all, exist_ok=True)
-
+def build_pipeline(opt):
+    """Flags → ready ``TweedieMixPipeline``. The single source of truth for
+    checkpoint loading, the lora t_stop default, and FusionConfig wiring —
+    shared by this one-shot CLI and ``cli/serve`` so their behavior cannot
+    drift (same rationale as ``resolve_segment_fn``). Mutates ``opt.t_stop``
+    in place when it resolves the default."""
     from tweediemix_tpu.concepts.delta import load_reference_delta
-    from tweediemix_tpu.fusion.pipeline import TweedieMixPipeline, save_image
+    from tweediemix_tpu.fusion.pipeline import TweedieMixPipeline
     from tweediemix_tpu.fusion.sampler import FusionConfig
 
-    concepts = opt.concepts.split("+")
-    n = len(concepts)
+    n = len(opt.concepts.split("+"))
 
     if opt.model_preset == "tiny" or opt.model_dir is None:
         stack = _load_tiny_stack(opt, n)
@@ -241,10 +234,11 @@ def main(argv=None) -> int:
         stack = _load_model_dir(opt)
     ucfg, uparams, vae, vparams, text, tok1, tok2 = stack
 
-    checkpoints = []
     if opt.personal_checkpoint:
-        for path in opt.personal_checkpoint.split("+"):
-            checkpoints.append(load_reference_delta(path))
+        checkpoints = [
+            load_reference_delta(path)
+            for path in opt.personal_checkpoint.split("+")
+        ]
     else:
         checkpoints = [
             {"unet": {}, "modifier_token": {}, "modifier_token_2": {}} for _ in range(n)
@@ -265,9 +259,7 @@ def main(argv=None) -> int:
         num_concepts=n,
     )
 
-    segment_fn = resolve_segment_fn(opt)
-
-    pipe = TweedieMixPipeline.from_concept_checkpoints(
+    return TweedieMixPipeline.from_concept_checkpoints(
         base_unet_params=uparams,
         checkpoints=checkpoints,
         modifier_tokens=opt.modifier_token.split("+"),
@@ -279,8 +271,25 @@ def main(argv=None) -> int:
         tokenizer_2=tok2,
         fusion_config=fcfg,
         mode=opt.mode,
-        segment_fn=segment_fn,
+        segment_fn=resolve_segment_fn(opt),
     )
+
+
+def main(argv=None) -> int:
+    opt = build_parser().parse_args(argv)
+    for name in ("device", "seg_gpu"):
+        if getattr(opt, name) is not None:
+            print(f"warning: --{name} is accepted for reference-script "
+                  f"compatibility but has no effect on TPU (device placement "
+                  f"is jit sharding; segmentation runs in-process)",
+                  file=sys.stderr)
+    out_all = opt.output_path_all or opt.output_path
+    os.makedirs(opt.output_path, exist_ok=True)
+    os.makedirs(out_all, exist_ok=True)
+
+    from tweediemix_tpu.fusion.pipeline import save_image
+
+    pipe = build_pipeline(opt)
 
     # multi-prompt seed batching: "||" separates per-seed prompt sets in
     # --prompt / --prompt_orig (must match --num_seeds)

@@ -42,47 +42,14 @@ def build_parser():
 
 
 def make_pipeline(opt):
-    """Build the pipeline exactly like cli/fusion_sampling.main does."""
-    from tweediemix_tpu.cli.fusion_sampling import _load_model_dir, _load_tiny_stack
-    from tweediemix_tpu.concepts.delta import load_reference_delta
-    from tweediemix_tpu.fusion.pipeline import TweedieMixPipeline
-    from tweediemix_tpu.fusion.sampler import FusionConfig
+    """One pipeline builder shared with the one-shot CLI (so a flag or
+    default added there cannot silently drift from the server)."""
+    from tweediemix_tpu.cli.fusion_sampling import build_pipeline
 
-    concepts = opt.concepts.split("+")
-    n = len(concepts)
-    if opt.model_preset == "tiny" or opt.model_dir is None:
-        stack = _load_tiny_stack(opt, n)
-    else:
-        stack = _load_model_dir(opt)
-    ucfg, uparams, vae, vparams, text, tok1, tok2 = stack
-
-    if opt.personal_checkpoint:
-        checkpoints = [load_reference_delta(p) for p in opt.personal_checkpoint.split("+")]
-    else:
-        checkpoints = [
-            {"unet": {}, "modifier_token": {}, "modifier_token_2": {}} for _ in range(n)
-        ]
-    if opt.t_stop is None:
-        opt.t_stop = 0.9 if opt.mode == "lora" else 1.0
-    fcfg = FusionConfig(
-        n_timesteps=opt.n_timesteps, guidance_scale=opt.guidance_scale,
-        t_cond=opt.t_cond, t_stop=opt.t_stop if opt.mode == "lora" else 1.0,
-        resampling_steps=opt.resampling_steps, jumping_steps=opt.jumping_steps,
-        height=opt.resolution_h, width=opt.resolution_w, num_concepts=n,
-    )
-    from tweediemix_tpu.cli.fusion_sampling import resolve_segment_fn
-
-    segment_fn = resolve_segment_fn(opt)
-    return TweedieMixPipeline.from_concept_checkpoints(
-        base_unet_params=uparams, checkpoints=checkpoints,
-        modifier_tokens=opt.modifier_token.split("+"), unet_cfg=ucfg,
-        vae=vae, vae_params=vparams, text=text,
-        tokenizer_1=tok1, tokenizer_2=tok2, fusion_config=fcfg,
-        mode=opt.mode, segment_fn=segment_fn,
-    )
+    return build_pipeline(opt)
 
 
-def handle_request(pipe, opt, req: dict, warm: bool) -> dict:
+def handle_request(pipe, opt, req: dict, compiled: set) -> dict:
     from tweediemix_tpu.fusion.pipeline import save_image, stack_text_embeds
 
     prompt = req.get("prompt", opt.prompt)
@@ -118,6 +85,13 @@ def handle_request(pipe, opt, req: dict, warm: bool) -> dict:
         fg_masks = load_fg_masks_from_dir(
             opt.mask_dir, opt.seg_concepts, opt.resolution_h, opt.resolution_w)
 
+    # "warm" = this request's trace geometry has already been compiled.
+    # num_seeds and precomputed-vs-live masks each force a fresh XLA trace;
+    # a first-of-its-geometry request pays minutes on the remote compile
+    # service and must not report warm=true.
+    geometry = (num_seeds, fg_masks is None)
+    warm = geometry in compiled
+
     t0 = time.perf_counter()
     imgs = pipe.sample(embeds, seed=seed, fg_masks=fg_masks,
                        num_seeds=num_seeds, mesh_devices=opt.mesh_devices)
@@ -127,6 +101,7 @@ def handle_request(pipe, opt, req: dict, warm: bool) -> dict:
         path = os.path.join(out_dir, f"{stem}_{seed + s}.png")
         save_image(imgs[s : s + 1], path)
         files.append(path)
+    compiled.add(geometry)
     return {
         "status": "ok", "files": files,
         "latency_s": round(time.perf_counter() - t0, 3), "warm": warm,
@@ -143,7 +118,7 @@ def main(argv=None, stdin=None, stdout=None) -> int:
     print(f"pipeline ready in {time.perf_counter() - t0:.1f}s; "
           f"reading JSONL requests from stdin", file=sys.stderr)
 
-    warm = False
+    compiled = set()  # trace geometries already paid for
     for line in stdin:
         line = line.strip()
         if not line:
@@ -151,8 +126,7 @@ def main(argv=None, stdin=None, stdout=None) -> int:
         req = None
         try:
             req = json.loads(line)
-            resp = handle_request(pipe, opt, req, warm)
-            warm = True  # compiled trajectory reused from now on
+            resp = handle_request(pipe, opt, req, compiled)
         except Exception as e:  # report, keep serving
             resp = {"status": "error", "error": f"{type(e).__name__}: {e}"}
         if isinstance(req, dict) and "id" in req:

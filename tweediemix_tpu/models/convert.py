@@ -153,16 +153,12 @@ def validate_params_tree(params, shapes_tree, name: str = "model") -> None:
 
 
 def _S(shape, dtype=None):
-    import jax.numpy as jnp
-
     return jax.ShapeDtypeStruct(shape, dtype or jnp.float32)
 
 
 def validate_unet_params(cfg, params) -> None:
     """Strict check of converted SDXL UNet params against ``cfg``'s init
     structure (real-weights load guard)."""
-    import jax.numpy as jnp
-
     from tweediemix_tpu.models.unet2d import UNet2DConditionModel
 
     model = UNet2DConditionModel(cfg)
@@ -172,7 +168,7 @@ def validate_unet_params(cfg, params) -> None:
         _S((1, 16, cfg.cross_attention_dim)),
         _S((1, cfg.pooled_projection_dim)), _S((1, 6)),
     )["params"]
-    _validate_shapes_only(params, shapes, "sdxl_unet")
+    validate_params_tree(params, shapes, "sdxl_unet")
 
 
 def validate_vae_params(cfg, params) -> None:
@@ -183,18 +179,16 @@ def validate_vae_params(cfg, params) -> None:
         model.init, jax.random.PRNGKey(0),
         _S((1, 32, 32, cfg.in_channels)), jax.random.PRNGKey(1),
     )["params"]
-    _validate_shapes_only(params, shapes, "vae")
+    validate_params_tree(params, shapes, "vae")
 
 
 def validate_clip_params(cfg, params) -> None:
-    import jax.numpy as jnp
-
     from tweediemix_tpu.models.clip import CLIPTextModel
 
     shapes = jax.eval_shape(
         CLIPTextModel(cfg).init, jax.random.PRNGKey(0), _S((1, 8), jnp.int32)
     )["params"]
-    _validate_shapes_only(params, shapes, "clip_text")
+    validate_params_tree(params, shapes, "clip_text")
 
 
 def validate_clip_vision_params(cfg, params) -> None:
@@ -204,12 +198,10 @@ def validate_clip_vision_params(cfg, params) -> None:
         CLIPVisionModel(cfg).init, jax.random.PRNGKey(0),
         _S((1, cfg.image_size, cfg.image_size, 3)),
     )["params"]
-    _validate_shapes_only(params, shapes, "clip_vision")
+    validate_params_tree(params, shapes, "clip_vision")
 
 
 def validate_unet3d_params(cfg, params) -> None:
-    import jax.numpy as jnp
-
     from tweediemix_tpu.models.unet3d import UNet3DConditionModel
 
     model = UNet3DConditionModel(cfg)
@@ -219,15 +211,11 @@ def validate_unet3d_params(cfg, params) -> None:
     s = max(16, cfg.context_pool_size)
     shapes = jax.eval_shape(
         model.init, jax.random.PRNGKey(0),
-        _S((1, 2, s, s, 4)), _S((), jnp.int32),
-        _S((1, 6, cfg.cross_attention_dim)), _S((1, 2, s, s, 4)),
+        _S((1, 2, s, s, cfg.in_channels)), _S((), jnp.int32),
+        _S((1, 6, cfg.cross_attention_dim)), _S((1, 2, s, s, cfg.in_channels)),
         _S((1, 1, cfg.cross_attention_dim)), _S(()),
     )["params"]
-    _validate_shapes_only(params, shapes, "i2v_unet")
-
-
-def _validate_shapes_only(params, shapes_tree, name):
-    validate_params_tree(params, shapes_tree, name)
+    validate_params_tree(params, shapes, "i2v_unet")
 
 
 def clip_params_to_hf_state_dict(params) -> Dict[str, np.ndarray]:

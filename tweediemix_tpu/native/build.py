@@ -110,10 +110,15 @@ def _paste_augment_np(img, th, tw, oy, ox, size, mask_size):
 
 
 def resized_dims(ih: int, iw: int, size: int) -> tuple:
-    """Shorter-side-= ``size`` resize dims (torchvision ``Resize(int)``)."""
+    """Shorter-side-= ``size`` resize dims (torchvision ``Resize(int)``).
+
+    torchvision truncates the long side (``int(size * long / short)``,
+    `_compute_resized_output_size`), so this must truncate too — ``round``
+    would put every bilinear sample on a differently-scaled grid one pixel
+    off the reference's for ~half of all aspect ratios."""
     if ih <= iw:
-        return size, max(size, round(iw * size / max(ih, 1)))
-    return max(size, round(ih * size / max(iw, 1))), size
+        return size, max(size, int(iw * size / max(ih, 1)))
+    return max(size, int(ih * size / max(iw, 1))), size
 
 
 def resize_crop_normalize(img: np.ndarray, size: int, cy: int, cx: int) -> np.ndarray:
