@@ -48,4 +48,17 @@ python -m tweediemix_tpu.cli.run_video $VIDEO_FLAGS \
   --num_seeds "${NUM_SEEDS:-1}" \
   --output "$OUT/video_${SEED}.gif"
 
+# stage 4 (optional): CLIP-T alignment score of the sample — the paper's
+# eval protocol. Real scoring needs an HF CLIPModel dir via CLIP_DIR;
+# smoke mode runs random tiny towers just to exercise the stage.
+if [ -n "$SMOKE" ]; then
+  EVAL_FLAGS="--model_preset tiny"
+else
+  EVAL_FLAGS="--clip_dir ${CLIP_DIR:-./clip-vit-large-patch14}"
+fi
+python -m tweediemix_tpu.cli.evaluate $EVAL_FLAGS \
+  --images "$OUT" --prompt "$PROMPT_ORIG" \
+  --modifier_token "$MODIFIER" \
+  --output "$OUT/eval.json" || echo "eval stage skipped (no CLIP weights)"
+
 echo "full pipeline done: $OUT"
