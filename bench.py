@@ -12,9 +12,11 @@ implies (32 chip-seconds per image); single-seed latency rides along as
 (vs_baseline_latency = 4 s / single-seed s; vs_baseline_throughput =
 rate / 1.875), and the video-stage metric (BASELINE config 4; see
 tools/bench_video.py) rides along as video_clip_s / video_frames_per_s /
-video_vs_baseline (240 chip-s budget / measured). TWEEDIEMIX_BENCH_SEEDS
-overrides the serving batch (0 = latency-only, headline reverts to
-s/image); TWEEDIEMIX_BENCH_VIDEO=0 skips the video stage.
+video_vs_baseline (240 chip-s budget / measured), and the segmentation
+stage (BASELINE config 3's in-loop masks; tools/bench_segment.py) as
+seg_ms_per_concept. TWEEDIEMIX_BENCH_SEEDS overrides the serving batch
+(0 = latency-only, headline reverts to s/image); TWEEDIEMIX_BENCH_VIDEO=0
+/ TWEEDIEMIX_BENCH_SEG=0 skip those stages.
 
 Weights are random/zeros (real SDXL weights are not downloadable in this
 environment); FLOPs, memory traffic, and the trajectory structure are
@@ -243,6 +245,28 @@ def main():
 
             traceback.print_exc(file=sys.stderr)
             result["video_error"] = f"{type(e).__name__}: {e}"
+
+    # segmentation stage (BASELINE config 3 runs segmentation in the loop;
+    # the headline uses the precomputed-mask path, so the seg cost rides
+    # along separately). TWEEDIEMIX_BENCH_SEG=0 skips.
+    if int(os.environ.get("TWEEDIEMIX_BENCH_SEG", "1")):
+        import gc
+
+        gc.collect()
+        jax.clear_caches()
+        gc.collect()
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+        try:
+            import bench_segment
+
+            sm = bench_segment.measure()
+            result["seg_metric"] = sm["metric"]
+            result["seg_ms_per_concept"] = sm["ms_per_concept"]
+        except Exception as e:  # never lose the main metrics over the rider
+            import traceback
+
+            traceback.print_exc(file=sys.stderr)
+            result["seg_error"] = f"{type(e).__name__}: {e}"
 
     print(json.dumps(result))
     return 0

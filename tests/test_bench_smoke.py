@@ -28,9 +28,11 @@ def test_bench_cpu_micro_smoke():
     rec = json.loads(line)
     assert {"metric", "value", "unit", "vs_baseline",
             "vs_baseline_latency", "vs_baseline_throughput",
-            "video_metric", "video_clip_s", "video_frames_per_s"} <= set(rec)
+            "video_metric", "video_clip_s", "video_frames_per_s",
+            "seg_metric", "seg_ms_per_concept"} <= set(rec)
     assert rec["value"] > 0
     assert rec["video_clip_s"] > 0
+    assert rec["seg_ms_per_concept"] > 0
 
 
 def test_entry_compiles():

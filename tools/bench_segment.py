@@ -21,7 +21,12 @@ def sync(x):
     return np.asarray(jax.device_get(jax.tree.leaves(x)[0].ravel()[0]))
 
 
-def main():
+def measure() -> dict:
+    """Run the segmentation-stage benchmark; returns
+    {"metric", "ms_per_concept", "on_tpu"}. Full detect→box→segment
+    predict (SAM ViT-H bf16 1024px encoder + OWL-ViT base detector,
+    random weights — FLOPs identical to a real run); tiny configs on
+    non-TPU backends so CI can execute it."""
     from tweediemix_tpu.segmentation.detector import DetectorConfig
     from tweediemix_tpu.segmentation.lang_sam import LangSAM
     from tweediemix_tpu.segmentation.sam import SAMConfig
@@ -32,11 +37,10 @@ def main():
         det_cfg = DetectorConfig.owlvit_base_patch32()
     else:
         sam_cfg, det_cfg = SAMConfig.tiny(), DetectorConfig.tiny()
-    print(f"backend={jax.default_backend()} sam={sam_cfg.encoder_dim}x{sam_cfg.encoder_layers}"
-          f"@{sam_cfg.image_size} det@{det_cfg.vision.image_size}")
 
     ls = LangSAM.random_init(jax.random.PRNGKey(0), sam_cfg=sam_cfg, det_cfg=det_cfg)
-    img = jax.random.uniform(jax.random.PRNGKey(1), (1024, 1024, 3))
+    size = 1024 if on_tpu else 64
+    img = jax.random.uniform(jax.random.PRNGKey(1), (size, size, 3))
 
     # one full predict (detect + SAM encode + per-box decode), per concept
     out = ls.predict(img, "a cat")
@@ -47,7 +51,19 @@ def main():
         out = ls.predict(img, "a cat")
     sync(out[0])
     dt = (time.perf_counter() - t0) / n
-    print(f"segment stage: {dt*1e3:.1f} ms per concept prompt")
+    return {
+        "metric": ("sam_vith_owlvit_1024_ms_per_concept" if on_tpu
+                   else "seg_tiny_cpu_ms_per_concept"),
+        "ms_per_concept": round(dt * 1e3, 1),
+        "on_tpu": on_tpu,
+    }
+
+
+def main():
+    print(f"backend={jax.default_backend()}")
+    m = measure()
+    dt = m["ms_per_concept"] / 1e3
+    print(f"segment stage: {m['ms_per_concept']:.1f} ms per concept prompt")
     print(f"  (reference runs 2 extra models on a dedicated 2nd GPU; here the"
           f" whole boundary-step seg pass for 2 fg concepts costs ~{2*dt:.2f}s"
           f" once per image)")
