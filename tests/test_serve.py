@@ -50,3 +50,35 @@ def test_serve_jsonl_roundtrip(tmp_path):
     import os
 
     assert os.path.basename(lines[2]["files"][0]).startswith("a cat and a dog sitting")
+
+
+def test_warm_flag_is_per_trace_geometry(tmp_path):
+    """A request with a new num_seeds pays a fresh XLA compile and must
+    report warm=False even after earlier successful requests; repeating
+    that geometry is then warm. Uses a stub pipeline so the keying logic
+    is tested without heavy compiles."""
+    import argparse
+
+    import numpy as np
+
+    from tweediemix_tpu.cli.serve import handle_request
+
+    class StubPipe:
+        def prepare_text_embeds(self, *a, **k):
+            return None
+
+        def sample(self, embeds, seed, fg_masks, num_seeds, mesh_devices):
+            return np.zeros((num_seeds, 8, 8, 3), np.float32)
+
+    opt = argparse.Namespace(
+        prompt="p", prompt_orig="orig", negative_prompt="", seed=1,
+        num_seeds=1, output_path=str(tmp_path), mask_dir=None,
+        concepts="c", modifier_token="<c1>", seg_concepts="a c",
+        resolution_h=8, resolution_w=8, mesh_devices=None,
+    )
+    compiled = set()
+    r1 = handle_request(StubPipe(), opt, {"num_seeds": 1}, compiled)
+    r2 = handle_request(StubPipe(), opt, {"num_seeds": 1}, compiled)
+    r3 = handle_request(StubPipe(), opt, {"num_seeds": 2}, compiled)
+    r4 = handle_request(StubPipe(), opt, {"num_seeds": 2}, compiled)
+    assert [r["warm"] for r in (r1, r2, r3, r4)] == [False, True, False, True]
