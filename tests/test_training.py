@@ -707,6 +707,31 @@ def test_cli_train_vae_encode_bf16(tmp_path, image_dirs):
     assert list(out.glob("delta-*.bin"))
 
 
+def test_cli_train_crops_coords_flags(tmp_path, image_dirs):
+    """--crops_coords_top_left_h/w thread into the SDXL micro-conditioning
+    time_ids (reference compute_time_ids builds original_size +
+    crops_coords_top_left + target_size, diffusers_training_xl_new.py:
+    150-158,449-459) and the run still trains and saves."""
+    from tweediemix_tpu.cli.train import main as train_main
+
+    inst, _ = image_dirs
+    out = tmp_path / "ckpt"
+    rc = train_main([
+        "--model_preset", "tiny",
+        "--resolution", "64",
+        "--instance_data_dir", inst,
+        "--instance_prompt", "photo of a <v1> cat",
+        "--modifier_token", "<v1>",
+        "--max_train_steps", "1",
+        "--save_steps", "1",
+        "--crops_coords_top_left_h", "16",
+        "--crops_coords_top_left_w", "8",
+        "--output_dir", str(out),
+    ])
+    assert rc == 0
+    assert list(out.glob("delta-*.bin"))
+
+
 def test_prefetch_batches_worker_exits_when_abandoned():
     """Abandoning the consumer (break/exception in the train loop) must
     release the worker thread instead of leaving it blocked on a full

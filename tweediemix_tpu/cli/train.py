@@ -39,6 +39,10 @@ def build_parser():
     p.add_argument("--output_dir", type=str, default="./ckpt")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--resolution", type=int, default=512)
+    p.add_argument("--crops_coords_top_left_h", type=int, default=0,
+                   help="crop-coordinate rows of the SDXL micro-conditioning "
+                        "time_ids (diffusers_training_xl_new.py:154-155,449-459)")
+    p.add_argument("--crops_coords_top_left_w", type=int, default=0)
     p.add_argument("--train_batch_size", type=int, default=1)
     p.add_argument("--sample_batch_size", type=int, default=4,
                    help="batch size for class-image generation "
@@ -430,8 +434,12 @@ def main(argv=None) -> int:
     params = promote_trainable_to_fp32(params, mask)
     optimizer = make_full_optimizer(tcfg, mask, opt.gradient_accumulation_steps)
     acp = training_alphas_cumprod()
+    # original_size + crops_coords_top_left + target_size, the reference's
+    # compute_time_ids (diffusers_training_xl_new.py:150-158)
     time_ids = jnp.array(
-        [[opt.resolution, opt.resolution, 0, 0, opt.resolution, opt.resolution]], jnp.float32
+        [[opt.resolution, opt.resolution,
+          opt.crops_coords_top_left_h, opt.crops_coords_top_left_w,
+          opt.resolution, opt.resolution]], jnp.float32
     )
     rm1 = embedding_row_mask(c1.vocab_size, ids1) if modifier_tokens else None
     rm2 = embedding_row_mask(c2.vocab_size, ids2) if modifier_tokens else None
