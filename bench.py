@@ -29,8 +29,23 @@ execute it; the recorded metric is only meaningful on TPU.
 
 import json
 import os
+import signal
 import sys
 import time
+
+# Filled in stage by stage; if the driver's timeout SIGTERMs us mid-rider
+# (the video/seg stages each pay a minutes-long remote compile), emit what
+# is already measured instead of losing the whole artifact.
+_result = {}
+
+
+def _emit_partial_and_exit(signum, frame):
+    if _result:
+        out = dict(_result)
+        out["partial"] = True
+        print(json.dumps(out))
+        sys.stdout.flush()
+    sys.exit(1)
 
 import jax
 import jax.numpy as jnp
@@ -51,6 +66,7 @@ def zeros_params(model, *example_args, dtype=None):
 
 
 def main():
+    signal.signal(signal.SIGTERM, _emit_partial_and_exit)
     on_tpu = jax.default_backend() == "tpu"
     n_concepts = 3  # cat + dog + background (sample_catdog.sh:19)
     # TWEEDIEMIX_BENCH_QUANT=int8 measures the opt-in W8A8 serving mode
@@ -179,11 +195,11 @@ def main():
     # (docs/PERF.md has the full roofline argument).
     # TWEEDIEMIX_BENCH_SEEDS=0 skips the serving config (latency only).
     n_seeds = int(os.environ.get("TWEEDIEMIX_BENCH_SEEDS", "4"))
-    result = {}
+    result = _result
     if n_seeds > 1:
         sync(run_batch(0, n_seeds))  # compile + warm
         dts = timed(n_seeds)
-        result = {
+        result.update({
             "metric": (
                 f"2concept_sdxl_1024_50step_images_per_min_chip_seeds{n_seeds}"
                 if on_tpu
@@ -193,9 +209,9 @@ def main():
             "unit": "images/min/chip",
             "vs_baseline": round((60.0 * n_seeds / dts) / (60.0 / 32.0), 3),
             f"seeds{n_seeds}_chip_s_per_image": round(dts / n_seeds, 3),
-        }
+        })
     else:
-        result = {
+        result.update({
             "metric": (
                 "2concept_sdxl_1024_50step_s_per_image"
                 if on_tpu
@@ -204,7 +220,7 @@ def main():
             "value": round(dt, 3),
             "unit": "s",
             "vs_baseline": round(4.0 / dt, 3),
-        }
+        })
     result["single_seed_s_per_image"] = round(dt, 3)
     # both ratio framings, so the artifact is self-describing (r01 reported
     # the latency ratio, r02 the throughput ratio — emit both from now on):

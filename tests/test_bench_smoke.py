@@ -35,6 +35,27 @@ def test_bench_cpu_micro_smoke():
     assert rec["seg_ms_per_concept"] > 0
 
 
+def test_bench_partial_emit_on_sigterm(capsys):
+    """If the driver's timeout SIGTERMs bench.py mid-rider (video/seg each
+    pay a minutes-long compile), the stages already measured must still be
+    printed as one JSON line instead of losing the artifact."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_under_test", os.path.join(REPO, "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    bench._result.update({"metric": "m", "value": 1.0, "unit": "u"})
+    import pytest
+
+    with pytest.raises(SystemExit):
+        bench._emit_partial_and_exit(15, None)
+    line = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
+    rec = json.loads(line)
+    assert rec["partial"] is True and rec["metric"] == "m"
+
+
 def test_entry_compiles():
     sys.path.insert(0, REPO)
     try:
