@@ -113,7 +113,25 @@ def build_parser():
                         "(singleconcept_train.sh:20)")
     p.add_argument("--dp_devices", type=int, default=None,
                    help="data-parallel device count (default: all local "
-                        "devices; 1 disables DP)")
+                        "devices, or all global devices with --multihost; "
+                        "1 disables DP)")
+    p.add_argument("--multihost", action="store_true",
+                   help="multi-host DP over DCN: jax.distributed.initialize() "
+                        "then a dp mesh over every process's devices; each "
+                        "host feeds its own batch shard and only process 0 "
+                        "writes checkpoints/metrics. On a TPU pod slice the "
+                        "coordinator is discovered from the runtime env; "
+                        "class images / prior retrieval must be pre-generated "
+                        "(run once single-host first). Replaces the "
+                        "reference's accelerate/NCCL DDP launch "
+                        "(diffusers_training_xl_new.py:503-508)")
+    p.add_argument("--coordinator_address", type=str, default=None,
+                   help="host:port of process 0 for --multihost off-pod "
+                        "(CPU/GPU clusters, tests); optional on TPU pods")
+    p.add_argument("--num_processes", type=int, default=None,
+                   help="process count for --multihost off-pod")
+    p.add_argument("--process_id", type=int, default=None,
+                   help="this process's rank for --multihost off-pod")
     p.add_argument("--resume_step", type=int, default=None)
     p.add_argument("--report_to", type=str, default="none",
                    help="'none' or a directory for JSONL/TensorBoard metrics")
@@ -179,6 +197,17 @@ def main(argv=None) -> int:
     os.makedirs(opt.output_dir, exist_ok=True)
 
     import jax
+
+    # Multi-host bootstrap MUST precede the first backend-initializing call
+    # (device queries below); after it, jax.devices() is the global view.
+    if opt.multihost:
+        from tweediemix_tpu.parallel.mesh import init_distributed
+
+        init_distributed(opt.coordinator_address, opt.num_processes,
+                         opt.process_id)
+    proc_count = jax.process_count() if opt.multihost else 1
+    is_main = (not opt.multihost) or jax.process_index() == 0
+
     import jax.numpy as jnp
     import numpy as np
 
@@ -342,6 +371,12 @@ def main(argv=None) -> int:
 
         for c in concepts:
             if c.class_data_dir and c.class_prompt and not _has_images(c.class_data_dir):
+                if opt.multihost:
+                    raise SystemExit(
+                        f"--multihost: class images for {c.class_prompt!r} "
+                        f"are missing in {c.class_data_dir}; generate them "
+                        "with a single-host run first (every process would "
+                        "otherwise race writing the same directory)")
                 def enc(prompts):
                     i1 = jnp.asarray(tok1(prompts), jnp.int32)
                     i2 = jnp.asarray(tok2(prompts), jnp.int32)
@@ -378,7 +413,9 @@ def main(argv=None) -> int:
         concepts, tok1, tok2, size=opt.resolution,
         with_prior_preservation=opt.with_prior_preservation,
         num_class_images=opt.num_class_images, hflip=opt.hflip,
-        center_crop=opt.center_crop, seed=opt.seed,
+        center_crop=opt.center_crop,
+        # disjoint per-host sampling streams under --multihost
+        seed=opt.seed + (jax.process_index() if opt.multihost else 0),
         latent_factor=latent_factor,
     )
 
@@ -386,14 +423,23 @@ def main(argv=None) -> int:
     # diffusers_training_xl_new.py:503-508,913-920): params replicated,
     # batch sharded on a 1-D dp mesh; XLA inserts the grad all-reduce.
     # train_batch_size is per-device like the reference's.
-    n_dev = opt.dp_devices or jax.local_device_count()
+    n_dev = opt.dp_devices or (
+        jax.device_count() if opt.multihost else jax.local_device_count())
+    if opt.multihost and n_dev != jax.device_count():
+        raise SystemExit(
+            f"--multihost requires the dp mesh to span every global device "
+            f"(got --dp_devices {n_dev}, global {jax.device_count()}): a "
+            "partial mesh would leave some processes with no addressable "
+            "shard to feed")
     mesh = None
     if n_dev > 1:
         from tweediemix_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh({"dp": n_dev}, devices=jax.devices()[:n_dev])
-        print(f"data parallelism over {n_dev} devices "
-              f"(global batch {opt.train_batch_size * n_dev})")
+        if is_main:
+            print(f"data parallelism over {n_dev} devices"
+                  + (f" on {proc_count} hosts" if proc_count > 1 else "")
+                  + f" (global batch {opt.train_batch_size * n_dev})")
 
     accum = opt.gradient_accumulation_steps
     if not opt.max_train_steps:
@@ -502,21 +548,36 @@ def main(argv=None) -> int:
     # that stalls dispatch and serializes data loading with compute.
     from tweediemix_tpu.training.data import prefetch_batches
 
-    batch_iter = ds.batches(opt.train_batch_size * n_dev, micro_steps)
+    # each process feeds its share of the global batch; under --multihost the
+    # local shards are assembled into one global dp-sharded jax.Array per step
+    batch_iter = ds.batches(opt.train_batch_size * n_dev // proc_count,
+                            micro_steps)
     if opt.dataloader_num_workers > 0:
         batch_iter = prefetch_batches(batch_iter, depth=opt.dataloader_num_workers)
+    # the train_step rng must be identical on every host (replicated input);
+    # the VAE-encode noise stream covers host-local rows, so it forks per host
+    enc_rng = jax.random.fold_in(rng, jax.process_index()) if opt.multihost else rng
+    if opt.multihost and mesh is not None:
+        from tweediemix_tpu.parallel.mesh import replicate as _replicate
+
+        rng = _replicate(mesh, rng)  # host-local key -> global replicated
     for i, batch_np in enumerate(batch_iter):
         batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
         latents = encode(vae_params, batch.pop("pixel_values"),
-                         jax.random.fold_in(rng, 1000 + i))
+                         jax.random.fold_in(enc_rng, 1000 + i))
         batch["latents"] = latents
+        if opt.multihost and mesh is not None:
+            from tweediemix_tpu.parallel.mesh import place_global_batch
+
+            batch = place_global_batch(mesh, jax.device_get(batch))
         state, metrics = train_step(state, batch, rng)
         opt_step, at_boundary = divmod(start_micro + i + 1, accum)
         if at_boundary == 0:
-            logger.log(opt_step, {k: float(v) for k, v in metrics.items()})
-            if opt_step % 10 == 1 or opt_step == opt.max_train_steps:
-                print(f"step {opt_step}: loss {float(metrics['loss']):.4f}")
-            if opt_step > start_opt_step and opt_step % opt.save_steps == 0:
+            if is_main:
+                logger.log(opt_step, {k: float(v) for k, v in metrics.items()})
+                if opt_step % 10 == 1 or opt_step == opt.max_train_steps:
+                    print(f"step {opt_step}: loss {float(metrics['loss']):.4f}")
+            if opt_step > start_opt_step and opt_step % opt.save_steps == 0 and is_main:
                 path = os.path.join(opt.output_dir, f"delta-{opt_step}.bin")
                 save_delta_checkpoint(path, state, mask, modifier_tokens, ids1, ids2,
                                       save_text_encoder=opt.train_text_encoder)
@@ -524,10 +585,11 @@ def main(argv=None) -> int:
                 print(f"saved {path}")
 
     final_step = int(state.step) // accum
-    final = os.path.join(opt.output_dir, f"delta-{final_step}.bin")
-    save_delta_checkpoint(final, state, mask, modifier_tokens, ids1, ids2,
-                          save_text_encoder=opt.train_text_encoder)
-    print(f"saved {final}")
+    if is_main:
+        final = os.path.join(opt.output_dir, f"delta-{final_step}.bin")
+        save_delta_checkpoint(final, state, mask, modifier_tokens, ids1, ids2,
+                              save_text_encoder=opt.train_text_encoder)
+        print(f"saved {final}")
     logger.close()
     return 0
 

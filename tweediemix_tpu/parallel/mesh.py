@@ -105,6 +105,42 @@ def seed_sharded_unet_fn(mesh: Mesh, unet_fn, axis: str = "dp"):
     return wrapped
 
 
+def init_distributed(coordinator_address=None, num_processes=None,
+                     process_id=None) -> bool:
+    """Multi-host bootstrap: ``jax.distributed.initialize()`` (SURVEY §5.8's
+    TPU-native replacement for the reference's NCCL-under-accelerate setup,
+    ``diffusers_training_xl_new.py:503-508``). On a TPU pod slice the
+    coordinator/process args come from the runtime environment and may be
+    omitted; pass them explicitly for CPU/GPU clusters or tests. Idempotent.
+    Returns True when this process is part of a multi-process job.
+    """
+    if not jax.distributed.is_initialized():
+        kwargs = {}
+        if coordinator_address is not None:
+            kwargs["coordinator_address"] = coordinator_address
+        if num_processes is not None:
+            kwargs["num_processes"] = num_processes
+        if process_id is not None:
+            kwargs["process_id"] = process_id
+        jax.distributed.initialize(**kwargs)
+    return jax.process_count() > 1
+
+
+def place_global_batch(mesh: Mesh, tree, axis: str = "dp"):
+    """Assemble a globally ``axis``-sharded batch from each process's local
+    rows (the multi-host DCN data layout: every host contributes
+    ``global_rows / process_count`` leading rows and only ever touches its
+    addressable shard). Leaves may be numpy or device arrays; on a
+    single-process mesh this is equivalent to :func:`shard_batch`.
+    """
+    sharding = NamedSharding(mesh, P(axis))
+
+    def place(x):
+        return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+
+    return jax.tree.map(place, tree)
+
+
 def pad_rows_to(x, n: int):
     """Pad leading dim up to n (repeat last row); returns (padded, orig_len)."""
     b = x.shape[0]
