@@ -10,33 +10,43 @@ against the 60/32 = 1.875 images/min/chip rate the <4 s v5e-8 north star
 implies (32 chip-seconds per image); single-seed latency rides along as
 "single_seed_s_per_image". Both ratio framings are emitted
 (vs_baseline_latency = 4 s / single-seed s; vs_baseline_throughput =
-rate / 1.875), and the video-stage metric (BASELINE config 4; see
-tools/bench_video.py) rides along as video_clip_s / video_frames_per_s /
-video_vs_baseline (240 chip-s budget / measured), and the segmentation
-stage (BASELINE config 3's in-loop masks; tools/bench_segment.py) as
-seg_ms_per_concept. TWEEDIEMIX_BENCH_SEEDS overrides the serving batch
-(0 = latency-only, headline reverts to s/image); TWEEDIEMIX_BENCH_VIDEO=0
-/ TWEEDIEMIX_BENCH_SEG=0 skip those stages.
+rate / 1.875). Riders, in budget order:
+
+* segmentation (BASELINE config 3's in-loop masks; tools/bench_segment.py)
+  as seg_ms_per_concept,
+* video (BASELINE config 4; tools/bench_video.py) as video_clip_s /
+  video_frames_per_s / video_vs_baseline (240 chip-s budget / measured),
+* int8 W8A8 serving mode (ops/quant.py) as single_seed_s_per_image_int8.
+
+A persistent XLA compilation cache (utils/compile_cache.py, repo-local
+.jax_cache/) makes repeat runs skip the minutes-long remote compiles; a
+wall-clock budget (TWEEDIEMIX_BENCH_BUDGET_S, default 1500 s) gates each
+rider — a stage that doesn't fit is skipped with a recorded reason
+instead of letting the driver SIGKILL mid-stage. TWEEDIEMIX_BENCH_SEEDS
+overrides the serving batch (0 = latency-only, headline reverts to
+s/image); TWEEDIEMIX_BENCH_SEG=0 / TWEEDIEMIX_BENCH_VIDEO=0 /
+TWEEDIEMIX_BENCH_INT8=0 skip riders unconditionally.
 
 Weights are random/zeros (real SDXL weights are not downloadable in this
 environment); FLOPs, memory traffic, and the trajectory structure are
 identical to a real run. Masks use the precomputed-mask path (the
-segmentation model benches separately once ported).
+segmentation model benches separately in the seg rider).
 
 On a non-TPU backend this auto-shrinks to the micro config so CI can still
 execute it; the recorded metric is only meaningful on TPU.
 """
 
+import gc
 import json
 import os
 import signal
 import sys
 import time
 
-# Filled in stage by stage; if the driver's timeout SIGTERMs us mid-rider
-# (the video/seg stages each pay a minutes-long remote compile), emit what
-# is already measured instead of losing the whole artifact.
+# Filled in stage by stage; if the driver's timeout SIGTERMs us mid-rider,
+# emit what is already measured instead of losing the whole artifact.
 _result = {}
+_T0 = time.perf_counter()
 
 
 def _emit_partial_and_exit(signum, frame):
@@ -47,8 +57,13 @@ def _emit_partial_and_exit(signum, frame):
         sys.stdout.flush()
     sys.exit(1)
 
+
 import jax
 import jax.numpy as jnp
+
+from tweediemix_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache()
 
 from tweediemix_tpu.fusion.sampler import FusionConfig, FusionSampler, TextEmbeds
 from tweediemix_tpu.models.unet2d import UNet2DConditionModel, UNetConfig
@@ -59,20 +74,31 @@ from tweediemix_tpu.models.vae import (
     unscale_latents,
 )
 
+BUDGET_S = float(os.environ.get("TWEEDIEMIX_BENCH_BUDGET_S", "1500"))
+
+
+def _remaining() -> float:
+    return BUDGET_S - (time.perf_counter() - _T0)
+
 
 def zeros_params(model, *example_args, dtype=None):
     shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), *example_args)["params"]
     return jax.tree.map(lambda s: jnp.zeros(s.shape, dtype or s.dtype), shapes)
 
 
-def main():
-    signal.signal(signal.SIGTERM, _emit_partial_and_exit)
-    on_tpu = jax.default_backend() == "tpu"
-    n_concepts = 3  # cat + dog + background (sample_catdog.sh:19)
-    # TWEEDIEMIX_BENCH_QUANT=int8 measures the opt-in W8A8 serving mode
-    # (ops/quant.py); default off — the headline stays bf16.
-    quant = os.environ.get("TWEEDIEMIX_BENCH_QUANT") or None
+def sync(x):
+    # a host fetch is the reliable barrier on the tunneled backend
+    import numpy as np
 
+    np.asarray(jax.device_get(x.ravel()[0]))
+    return x
+
+
+def measure_image(on_tpu: bool, quant, n_seeds: int) -> dict:
+    """Build the fusion pipeline (random weights) and time the full
+    trajectory + decode; returns {"single_s": ..., ["seeds_s": ...]}.
+    All device state is local so it frees on return."""
+    n_concepts = 3  # cat + dog + background (sample_catdog.sh:19)
     if on_tpu:
         ucfg = UNetConfig.sdxl(dtype=jnp.bfloat16, concept_slots=n_concepts + 1,
                                quant=quant)
@@ -167,13 +193,6 @@ def main():
             [decode(vparams, x[s : s + 1]) for s in range(num_seeds)], axis=0
         )
 
-    def sync(x):
-        # a host fetch is the reliable barrier on the tunneled backend
-        import numpy as np
-
-        np.asarray(jax.device_get(x.ravel()[0]))
-        return x
-
     def timed(num_seeds, reps=2):
         # min over reps: the tunneled chip shows ~5% run-to-run variance
         best = float("inf")
@@ -184,21 +203,39 @@ def main():
         return best
 
     sync(run_batch(0, 1))  # compile + warm
-    dt = timed(1)
-
-    # Headline = BASELINE.json's tracked metric: "2-concept SDXL
-    # images/min/chip at 50 steps", measured at the serving batch
-    # (BASELINE "8 seeds in parallel" config, amortized on one chip).
-    # The <4 s north-star is a v5e-8 (8-chip) wall-clock target, i.e. a
-    # 32 chip-second budget per image; vs_baseline is measured throughput
-    # over the 60/32 = 1.875 images/min/chip that budget implies
-    # (docs/PERF.md has the full roofline argument).
-    # TWEEDIEMIX_BENCH_SEEDS=0 skips the serving config (latency only).
-    n_seeds = int(os.environ.get("TWEEDIEMIX_BENCH_SEEDS", "4"))
-    result = _result
+    out = {"single_s": timed(1)}
     if n_seeds > 1:
         sync(run_batch(0, n_seeds))  # compile + warm
-        dts = timed(n_seeds)
+        out["seeds_s"] = timed(n_seeds)
+    return out
+
+
+def _free_device_state():
+    gc.collect()
+    jax.clear_caches()
+    gc.collect()
+
+
+def main():
+    signal.signal(signal.SIGTERM, _emit_partial_and_exit)
+    on_tpu = jax.default_backend() == "tpu"
+    # TWEEDIEMIX_BENCH_QUANT=int8 measures the opt-in W8A8 serving mode
+    # (ops/quant.py) as the headline; default off — the headline stays bf16.
+    quant = os.environ.get("TWEEDIEMIX_BENCH_QUANT") or None
+    n_seeds = int(os.environ.get("TWEEDIEMIX_BENCH_SEEDS", "4"))
+
+    m = measure_image(on_tpu, quant, n_seeds)
+    dt = m["single_s"]
+    result = _result
+    if "seeds_s" in m:
+        dts = m["seeds_s"]
+        # Headline = BASELINE.json's tracked metric: "2-concept SDXL
+        # images/min/chip at 50 steps", measured at the serving batch
+        # (BASELINE "8 seeds in parallel" config, amortized on one chip).
+        # The <4 s north-star is a v5e-8 (8-chip) wall-clock target, i.e. a
+        # 32 chip-second budget per image; vs_baseline is measured throughput
+        # over the 60/32 = 1.875 images/min/chip that budget implies
+        # (docs/PERF.md has the full roofline argument).
         result.update({
             "metric": (
                 f"2concept_sdxl_1024_50step_images_per_min_chip_seeds{n_seeds}"
@@ -228,62 +265,70 @@ def main():
     # - throughput: measured rate over the 1.875 img/min/chip the 32
     #   chip-second v5e-8 budget implies
     result["vs_baseline_latency"] = round(4.0 / dt, 3)
-    if n_seeds > 1:
+    if "seeds_s" in m:
         result["vs_baseline_throughput"] = round(
-            (60.0 * n_seeds / dts) / (60.0 / 32.0), 3)
+            (60.0 * n_seeds / m["seeds_s"]) / (60.0 / 32.0), 3)
     else:
         result["vs_baseline_throughput"] = round((60.0 / dt) / (60.0 / 32.0), 3)
 
-    # video stage (BASELINE config 4: 16-frame 512px I2V clip, <30 s on
-    # v5e-8 = 240 chip-seconds). On by default so the graded artifact
-    # carries it; TWEEDIEMIX_BENCH_VIDEO=0 skips.
-    if int(os.environ.get("TWEEDIEMIX_BENCH_VIDEO", "1")):
-        # free the image stage first: its params + compiled trajectory keep
-        # several GiB of HBM resident, and the I2V stage measured 2x slower
-        # under that pressure (54 s vs 27 s standalone) before this drop
-        del sampler, uparams, vparams, decode, run_batch, timed, embeds, fg
-        import gc
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
 
-        gc.collect()
-        jax.clear_caches()
-        gc.collect()
-        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+    def stage(name: str, env: str, min_s: float, fn):
+        """Run one rider inside the wall-clock budget; skips (with a
+        recorded reason) rather than letting the driver kill us mid-stage."""
+        if not int(os.environ.get(env, "1")):
+            result[f"{name}_skipped"] = "disabled via env"
+            return
+        left = _remaining()
+        if left < min_s:
+            result[f"{name}_skipped"] = (
+                f"budget: {left:.0f}s left < {min_s:.0f}s stage minimum")
+            return
+        _free_device_state()
         try:
-            import bench_video
-
-            vm = bench_video.measure()
-            result["video_metric"] = vm["metric"]
-            result["video_clip_s"] = vm["s_per_clip"]
-            result["video_frames_per_s"] = vm["frames_per_s"]
-            result["video_vs_baseline"] = round(240.0 / vm["s_per_clip"], 3)
-        except Exception as e:  # never lose the image metric over the rider
+            fn()
+        except Exception as e:  # never lose earlier metrics over a rider
             import traceback
 
             traceback.print_exc(file=sys.stderr)
-            result["video_error"] = f"{type(e).__name__}: {e}"
+            result[f"{name}_error"] = f"{type(e).__name__}: {e}"
 
-    # segmentation stage (BASELINE config 3 runs segmentation in the loop;
+    # segmentation rider (BASELINE config 3 runs segmentation in the loop;
     # the headline uses the precomputed-mask path, so the seg cost rides
-    # along separately). TWEEDIEMIX_BENCH_SEG=0 skips.
-    if int(os.environ.get("TWEEDIEMIX_BENCH_SEG", "1")):
-        import gc
+    # along separately). Cheapest stage, so it goes first.
+    def seg_stage():
+        import bench_segment
 
-        gc.collect()
-        jax.clear_caches()
-        gc.collect()
-        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
-        try:
-            import bench_segment
+        sm = bench_segment.measure()
+        result["seg_metric"] = sm["metric"]
+        result["seg_ms_per_concept"] = sm["ms_per_concept"]
 
-            sm = bench_segment.measure()
-            result["seg_metric"] = sm["metric"]
-            result["seg_ms_per_concept"] = sm["ms_per_concept"]
-        except Exception as e:  # never lose the main metrics over the rider
-            import traceback
+    # video rider (BASELINE config 4: 16-frame 512px I2V clip, <30 s on
+    # v5e-8 = 240 chip-seconds). The image stage's params + compiled
+    # trajectory must be freed first (they keep several GiB of HBM
+    # resident; the I2V stage measured 2x slower under that pressure).
+    def video_stage():
+        import bench_video
 
-            traceback.print_exc(file=sys.stderr)
-            result["seg_error"] = f"{type(e).__name__}: {e}"
+        vm = bench_video.measure()
+        result["video_metric"] = vm["metric"]
+        result["video_clip_s"] = vm["s_per_clip"]
+        result["video_frames_per_s"] = vm["frames_per_s"]
+        result["video_vs_baseline"] = round(240.0 / vm["s_per_clip"], 3)
 
+    # int8 rider: the opt-in W8A8 serving mode's single-seed latency
+    # (round-3's only positive image-path perf result), so the graded
+    # artifact carries bf16 + int8 numbers side by side.
+    def int8_stage():
+        mq = measure_image(on_tpu, "int8", n_seeds=0)
+        result["single_seed_s_per_image_int8"] = round(mq["single_s"], 3)
+
+    stage("seg", "TWEEDIEMIX_BENCH_SEG", 240.0, seg_stage)
+    stage("video", "TWEEDIEMIX_BENCH_VIDEO", 420.0, video_stage)
+    if quant is None:  # headline already int8 -> rider is redundant
+        stage("int8", "TWEEDIEMIX_BENCH_INT8", 300.0, int8_stage)
+
+    result["bench_wall_s"] = round(time.perf_counter() - _T0, 1)
     print(json.dumps(result))
     return 0
 

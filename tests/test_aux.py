@@ -80,3 +80,42 @@ def test_retrieve_writes_reference_file_contract(tmp_path):
     assert len(caps) == len(urls) == len(imgs) == 3
     assert urls[0] == "http://x/0.jpg"
     assert all(os.path.exists(p) for p in imgs)
+
+
+def test_compile_cache_enable_and_disable(tmp_path):
+    """enable_compile_cache points jax at a persistent on-disk cache (and a
+    compiled executable actually lands there); the env kill-switch disables
+    it and explicit dirs win over the repo default."""
+    import jax
+
+    from tweediemix_tpu.utils.compile_cache import enable_compile_cache
+
+    cache = tmp_path / "jaxcache"
+    with mock.patch.dict(os.environ, {"TWEEDIEMIX_COMPILE_CACHE": "off"}):
+        assert enable_compile_cache(str(cache)) is None
+
+    # default-on is TPU-only: XLA:CPU caches AOT host machine code that may
+    # come from the remote compile service (SIGILL hazard) — on the CPU test
+    # backend the no-arg call must be a no-op
+    with mock.patch.dict(os.environ, clear=False):
+        os.environ.pop("TWEEDIEMIX_COMPILE_CACHE", None)
+        assert enable_compile_cache() is None
+
+    try:
+        got = enable_compile_cache(str(cache))
+        assert got == str(cache)
+        assert os.path.isdir(got)
+        assert jax.config.jax_compilation_cache_dir == str(cache)
+        # threshold must be low enough that even tiny CPU jits persist
+        assert jax.config.jax_persistent_cache_min_entry_size_bytes == 0
+
+        import jax.numpy as jnp
+
+        with mock.patch.dict(
+            os.environ, {"JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS": "0"}
+        ):
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+            jax.jit(lambda x: x * 2 + 1)(jnp.ones((4,))).block_until_ready()
+        assert any(cache.iterdir()), "no executable persisted to the cache dir"
+    finally:
+        jax.config.update("jax_compilation_cache_dir", None)

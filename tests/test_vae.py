@@ -30,6 +30,73 @@ def test_scaling_quirk():
     )
 
 
+def test_latents_mean_std_denormalization():
+    """Final decode with configured latents_mean/latents_std must match the
+    reference expression ``x * std / scaling_factor + mean``
+    (fusion_sampling.py:505-518), mirrored here in numpy; the preview path
+    keeps the plain 1/0.18215 scale (fusion_sampling.py:297-303)."""
+    mean = (0.1, -0.2, 0.3, -0.4)
+    std = (0.9, 1.1, 0.8, 1.2)
+    cfg = VAEConfig.sdxl(latents_mean=mean, latents_std=std)
+    z = np.random.RandomState(0).randn(2, 4, 4, 4).astype(np.float32)
+
+    got = np.asarray(unscale_latents(jnp.asarray(z), cfg))
+    want = z * np.asarray(std, np.float32) / cfg.scaling_factor + np.asarray(
+        mean, np.float32
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    # preview decode ignores the statistics, like the reference's
+    # decode_latent helper
+    np.testing.assert_allclose(
+        np.asarray(unscale_latents(jnp.asarray(z), cfg, preview=True)),
+        z / 0.18215,
+        rtol=1e-6,
+    )
+
+    # without the statistics the plain 1/scaling_factor path is unchanged
+    plain = VAEConfig.sdxl()
+    np.testing.assert_allclose(
+        np.asarray(unscale_latents(jnp.asarray(z), plain)),
+        z / plain.scaling_factor,
+        rtol=1e-6,
+    )
+
+
+def test_vae_config_overrides_reads_checkpoint_config(tmp_path):
+    """vae_config_overrides picks up scaling_factor + latents_mean/std from a
+    checkpoint's HF config.json and is empty when the file (or the optional
+    statistics) are absent."""
+    import json
+
+    from tweediemix_tpu.models.convert import vae_config_overrides
+
+    # no config.json -> no overrides
+    assert vae_config_overrides(str(tmp_path)) == {}
+
+    # config with statistics (e.g. playground-style VAEs)
+    (tmp_path / "config.json").write_text(
+        json.dumps(
+            {
+                "scaling_factor": 0.5,
+                "latents_mean": [0.1, 0.2, 0.3, 0.4],
+                "latents_std": [1.0, 1.1, 1.2, 1.3],
+            }
+        )
+    )
+    out = vae_config_overrides(str(tmp_path))
+    assert out["scaling_factor"] == 0.5
+    assert out["latents_mean"] == (0.1, 0.2, 0.3, 0.4)
+    assert out["latents_std"] == (1.0, 1.1, 1.2, 1.3)
+    cfg = VAEConfig.sdxl(**out)
+    assert cfg.latents_std == (1.0, 1.1, 1.2, 1.3)
+
+    # default fp16-fix style config: scaling factor only, mean/std absent
+    (tmp_path / "config.json").write_text(json.dumps({"scaling_factor": 0.13025}))
+    out = vae_config_overrides(str(tmp_path))
+    assert out == {"scaling_factor": 0.13025}
+
+
 def test_encode_decode_roundtrip_shapes():
     cfg = VAEConfig.tiny()
     vae = AutoencoderKL(cfg)

@@ -54,6 +54,9 @@ def build_parser():
 
 def main(argv=None) -> int:
     opt = build_parser().parse_args(argv)
+    from tweediemix_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     from tweediemix_tpu.evaluation import CLIPScorer, load_images
 
     if opt.clip_dir is not None:

@@ -151,7 +151,12 @@ def _load_model_dir(opt):
     ucfg = UNetConfig.sdxl(dtype=jnp.bfloat16, quant=getattr(opt, "quant", None))
     uparams = load_unet_params(os.path.join(d, "unet"))
     validate_unet_params(ucfg, uparams)
-    vcfg = VAEConfig.sdxl()
+    from tweediemix_tpu.models.convert import vae_config_overrides
+
+    # honor checkpoint-configured scaling_factor / latents_mean / latents_std
+    # (the reference's final decode denormalizes with them when present,
+    # fusion_sampling.py:505-518)
+    vcfg = VAEConfig.sdxl(**vae_config_overrides(os.path.join(d, "vae")))
     vae = AutoencoderKL(vcfg)
     vparams = load_vae_params(os.path.join(d, "vae"))
     validate_vae_params(vcfg, vparams)
@@ -277,6 +282,9 @@ def build_pipeline(opt):
 
 def main(argv=None) -> int:
     opt = build_parser().parse_args(argv)
+    from tweediemix_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     for name in ("device", "seg_gpu"):
         if getattr(opt, name) is not None:
             print(f"warning: --{name} is accepted for reference-script "

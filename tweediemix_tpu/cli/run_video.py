@@ -56,6 +56,10 @@ def main(argv=None) -> int:
     opt = build_parser().parse_args(argv)
 
     import jax
+
+    from tweediemix_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     import jax.numpy as jnp
     import numpy as np
     from PIL import Image

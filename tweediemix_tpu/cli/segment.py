@@ -33,6 +33,9 @@ def main(argv=None) -> int:
     opt = build_parser().parse_args(argv)
     os.makedirs(opt.output_path, exist_ok=True)
 
+    from tweediemix_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     import jax.numpy as jnp
     import numpy as np
     from PIL import Image

@@ -113,6 +113,9 @@ def main(argv=None, stdin=None, stdout=None) -> int:
     stdin = stdin if stdin is not None else sys.stdin
     stdout = stdout if stdout is not None else sys.stdout
 
+    from tweediemix_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     t0 = time.perf_counter()
     pipe = make_pipeline(opt)
     print(f"pipeline ready in {time.perf_counter() - t0:.1f}s; "

@@ -208,6 +208,12 @@ def main(argv=None) -> int:
     proc_count = jax.process_count() if opt.multihost else 1
     is_main = (not opt.multihost) or jax.process_index() == 0
 
+    # after the distributed bootstrap: the TPU gate inside initializes the
+    # backend, which must not happen before jax.distributed.initialize
+    from tweediemix_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+
     import jax.numpy as jnp
     import numpy as np
 
@@ -293,7 +299,14 @@ def main(argv=None) -> int:
             detach_first_token_kv=not lora,
             remat=opt.gradient_checkpointing,
         )
-        vcfg = VAEConfig.sdxl(dtype=_vae_dtype(opt))
+        from tweediemix_tpu.models.convert import vae_config_overrides
+
+        # --pretrained_vae_model_name_or_path points at a standalone VAE dir
+        # (e.g. the fp16-fix VAE, reference :670-675); default MODEL_DIR/vae.
+        # Honor its configured scaling_factor (the reference trainer scales
+        # encoded latents by vae.config.scaling_factor).
+        vae_dir = opt.pretrained_vae_model_name_or_path or os.path.join(d, "vae")
+        vcfg = VAEConfig.sdxl(dtype=_vae_dtype(opt), **vae_config_overrides(vae_dir))
         tok1 = CLIPBPETokenizer.from_dir(os.path.join(d, "tokenizer"))
         tok2 = CLIPBPETokenizer.from_dir(os.path.join(d, "tokenizer_2"))
         # bf16 params (trainable leaves are promoted to fp32 masters below);
@@ -301,10 +314,7 @@ def main(argv=None) -> int:
         te1_params = load_clip_params(os.path.join(d, "text_encoder"), dtype=jnp.bfloat16)
         te2_params = load_clip_params(os.path.join(d, "text_encoder_2"), dtype=jnp.bfloat16)
         vae = AutoencoderKL(vcfg)
-        # --pretrained_vae_model_name_or_path points at a standalone VAE dir
-        # (e.g. the fp16-fix VAE, reference :670-675); default MODEL_DIR/vae
-        vae_params = load_vae_params(
-            opt.pretrained_vae_model_name_or_path or os.path.join(d, "vae"))
+        vae_params = load_vae_params(vae_dir)
         unet = UNet2DConditionModel(ucfg)
         unet_params = load_unet_params(os.path.join(d, "unet"), dtype=jnp.bfloat16)
         from tweediemix_tpu.models.convert import (
@@ -519,7 +529,18 @@ def main(argv=None) -> int:
     if opt.resume_step is not None:
         from tweediemix_tpu.training.trainer import load_resume_checkpoint
 
-        state = load_resume_checkpoint(os.path.join(opt.output_dir, "resume"), opt.resume_step, state)
+        resume_dir = os.path.join(opt.output_dir, "resume")
+        ckpt_path = os.path.join(resume_dir, f"state_{opt.resume_step}")
+        if opt.multihost and not os.path.exists(ckpt_path):
+            # every process restores; the dir is written collectively, so a
+            # multi-host resume needs storage shared by all hosts — fail
+            # early with the actual requirement instead of inside orbax
+            raise FileNotFoundError(
+                f"--resume_step {opt.resume_step} under --multihost requires "
+                f"the resume checkpoint on storage shared by every host; "
+                f"{ckpt_path} is not visible on process "
+                f"{jax.process_index()} (see docs/MIGRATION.md)")
+        state = load_resume_checkpoint(resume_dir, opt.resume_step, state)
         print(f"resumed from step {opt.resume_step}")
 
     def encode_fn(vp, px, rng):
@@ -533,7 +554,11 @@ def main(argv=None) -> int:
 
     from tweediemix_tpu.utils.logging import MetricsLogger
 
-    logger = MetricsLogger(None if opt.report_to == "none" else opt.report_to)
+    # non-main hosts get a no-op logger: constructing a TB SummaryWriter
+    # creates an events file at construction time, so a live logger on every
+    # host would drop stray event files into a (possibly shared) log dir
+    logger = MetricsLogger(
+        None if (opt.report_to == "none" or not is_main) else opt.report_to)
 
     # state.step counts micro (accumulation) steps; user-facing step counts,
     # save cadence, and checkpoint names are in optimizer steps like the
@@ -569,7 +594,7 @@ def main(argv=None) -> int:
         if opt.multihost and mesh is not None:
             from tweediemix_tpu.parallel.mesh import place_global_batch
 
-            batch = place_global_batch(mesh, jax.device_get(batch))
+            batch = place_global_batch(mesh, batch)
         state, metrics = train_step(state, batch, rng)
         opt_step, at_boundary = divmod(start_micro + i + 1, accum)
         if at_boundary == 0:
@@ -577,12 +602,21 @@ def main(argv=None) -> int:
                 logger.log(opt_step, {k: float(v) for k, v in metrics.items()})
                 if opt_step % 10 == 1 or opt_step == opt.max_train_steps:
                     print(f"step {opt_step}: loss {float(metrics['loss']):.4f}")
-            if opt_step > start_opt_step and opt_step % opt.save_steps == 0 and is_main:
-                path = os.path.join(opt.output_dir, f"delta-{opt_step}.bin")
-                save_delta_checkpoint(path, state, mask, modifier_tokens, ids1, ids2,
-                                      save_text_encoder=opt.train_text_encoder)
-                save_resume_checkpoint(os.path.join(opt.output_dir, "resume"), state)
-                print(f"saved {path}")
+            if opt_step > start_opt_step and opt_step % opt.save_steps == 0:
+                if is_main:
+                    path = os.path.join(opt.output_dir, f"delta-{opt_step}.bin")
+                    save_delta_checkpoint(path, state, mask, modifier_tokens,
+                                          ids1, ids2,
+                                          save_text_encoder=opt.train_text_encoder)
+                # the orbax save is a collective (it opens with a global
+                # barrier and gates primary-host writes internally): EVERY
+                # process must enter it, or process 0 deadlocks in the
+                # barrier under --multihost. Only the np-based delta save
+                # and prints stay main-gated.
+                save_resume_checkpoint(os.path.join(opt.output_dir, "resume"),
+                                       state)
+                if is_main:
+                    print(f"saved {path}")
 
     final_step = int(state.step) // accum
     if is_main:

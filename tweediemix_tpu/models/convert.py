@@ -567,5 +567,28 @@ def load_vae_params(vae_dir: str, dtype=np.float32) -> Dict:
     return convert_vae_state_dict(load_torch_state_dict(vae_dir), dtype=dtype)
 
 
+def vae_config_overrides(vae_dir: str) -> Dict:
+    """Read decode-relevant fields from a checkpoint's HF ``config.json``:
+    ``scaling_factor`` plus the optional ``latents_mean``/``latents_std``
+    the reference's final decode denormalizes with when a VAE configures
+    them (fusion_sampling.py:505-518). Returns kwargs for ``VAEConfig``;
+    empty when the file is absent (the default fp16-fix SDXL VAE ships
+    neither statistic)."""
+    import json
+
+    path = os.path.join(vae_dir, "config.json")
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        cfg = json.load(f)
+    out = {}
+    if cfg.get("scaling_factor") is not None:
+        out["scaling_factor"] = float(cfg["scaling_factor"])
+    if cfg.get("latents_mean") is not None and cfg.get("latents_std") is not None:
+        out["latents_mean"] = tuple(float(v) for v in cfg["latents_mean"])
+        out["latents_std"] = tuple(float(v) for v in cfg["latents_std"])
+    return out
+
+
 def load_clip_params(enc_dir: str, dtype=np.float32) -> Dict:
     return convert_clip_state_dict(load_torch_state_dict(enc_dir), dtype=dtype)

@@ -33,6 +33,12 @@ class VAEConfig:
     scaling_factor: float = 0.13025
     # the reference's Tweedie-preview decode scale (fusion_sampling.py:300)
     preview_scaling_factor: float = 0.18215
+    # optional per-channel latent statistics: some VAE checkpoints configure
+    # latents_mean/latents_std, and the reference's final decode denormalizes
+    # with them (fusion_sampling.py:505-518). None for the default SDXL /
+    # fp16-fix VAEs (their configs carry neither).
+    latents_mean: Tuple[float, ...] | None = None
+    latents_std: Tuple[float, ...] | None = None
     dtype: jnp.dtype = jnp.float32
 
     @staticmethod
@@ -197,9 +203,21 @@ def scale_latents(latents, cfg: VAEConfig):
 
 def unscale_latents(latents, cfg: VAEConfig, preview: bool = False):
     """diffusion latent → decoder input. ``preview=True`` reproduces the
-    reference's 1/0.18215 Tweedie-preview scale (fusion_sampling.py:300)."""
-    factor = cfg.preview_scaling_factor if preview else cfg.scaling_factor
-    return latents / factor
+    reference's 1/0.18215 Tweedie-preview scale (fusion_sampling.py:300).
+
+    When the VAE config carries ``latents_mean``/``latents_std``, the final
+    decode denormalizes with them exactly like the reference
+    (``x * latents_std / scaling_factor + latents_mean``,
+    fusion_sampling.py:505-518); the preview path keeps the plain scale, as
+    the reference's ``decode_latent`` does (fusion_sampling.py:297-303).
+    Channel statistics broadcast over the trailing (NHWC) channel axis."""
+    if preview:
+        return latents / cfg.preview_scaling_factor
+    if cfg.latents_mean is not None and cfg.latents_std is not None:
+        mean = jnp.asarray(cfg.latents_mean, latents.dtype)
+        std = jnp.asarray(cfg.latents_std, latents.dtype)
+        return latents * std / cfg.scaling_factor + mean
+    return latents / cfg.scaling_factor
 
 
 def postprocess_image(img):

@@ -130,13 +130,18 @@ def place_global_batch(mesh: Mesh, tree, axis: str = "dp"):
     """Assemble a globally ``axis``-sharded batch from each process's local
     rows (the multi-host DCN data layout: every host contributes
     ``global_rows / process_count`` leading rows and only ever touches its
-    addressable shard). Leaves may be numpy or device arrays; on a
-    single-process mesh this is equivalent to :func:`shard_batch`.
+    addressable shard). Leaves may be numpy or device arrays; device arrays
+    are passed through without a host round-trip (a ``device_get`` here
+    would force a per-step sync that stalls dispatch and serializes data
+    loading with compute). On a single-process mesh this is equivalent to
+    :func:`shard_batch`.
     """
     sharding = NamedSharding(mesh, P(axis))
 
     def place(x):
-        return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+        if not isinstance(x, jax.Array):
+            x = np.asarray(x)
+        return jax.make_array_from_process_local_data(sharding, x)
 
     return jax.tree.map(place, tree)
 
