@@ -94,27 +94,35 @@ def sync(x):
     return x
 
 
-def measure_image(on_tpu: bool, quant, n_seeds: int) -> dict:
+def measure_image(on_tpu: bool, quant, n_seeds: int, mode: str = "cd") -> dict:
     """Build the fusion pipeline (random weights) and time the full
     trajectory + decode; returns {"single_s": ..., ["seeds_s": ...]}.
-    All device state is local so it frees on return."""
+    All device state is local so it frees on return.
+
+    ``mode='lora'`` measures BASELINE config 2 (fusion_sampling_lora.py +
+    sample_panda.sh:43-46): stacked rank-4 LoRA q/k/v/out deltas on every
+    attention instead of the CD stacked-K/V slots, and the reference's
+    default t_stop=0.9 fusion window (joint-CFG tail for the last 10% of
+    steps, fusion_sampling_lora.py:547,324)."""
     n_concepts = 3  # cat + dog + background (sample_catdog.sh:19)
+    slots = dict(lora_slots=n_concepts + 1) if mode == "lora" else dict(
+        concept_slots=n_concepts + 1)
+    t_stop = 0.9 if mode == "lora" else 1.0
     if on_tpu:
-        ucfg = UNetConfig.sdxl(dtype=jnp.bfloat16, concept_slots=n_concepts + 1,
-                               quant=quant)
+        ucfg = UNetConfig.sdxl(dtype=jnp.bfloat16, quant=quant, **slots)
         vcfg = VAEConfig.sdxl()
         fcfg = FusionConfig(
             n_timesteps=50, guidance_scale=0.8, t_cond=0.2,
-            resampling_steps=10, jumping_steps=5,
+            resampling_steps=10, jumping_steps=5, t_stop=t_stop,
             height=1024, width=1024, num_concepts=n_concepts,
         )
         ctx_len, ctx_dim, pool_dim = 77, 2048, 1280
     else:
-        ucfg = UNetConfig.micro(concept_slots=n_concepts + 1, quant=quant)
+        ucfg = UNetConfig.micro(quant=quant, **slots)
         vcfg = VAEConfig.tiny()
         fcfg = FusionConfig(
             n_timesteps=10, guidance_scale=0.8, t_cond=0.2,
-            resampling_steps=2, jumping_steps=2,
+            resampling_steps=2, jumping_steps=2, t_stop=t_stop,
             height=128, width=128, num_concepts=n_concepts,
         )
         ctx_len, ctx_dim, pool_dim = 16, ucfg.cross_attention_dim, ucfg.pooled_projection_dim
@@ -223,10 +231,15 @@ def main():
     # (ops/quant.py) as the headline; default off — the headline stays bf16.
     quant = os.environ.get("TWEEDIEMIX_BENCH_QUANT") or None
     n_seeds = int(os.environ.get("TWEEDIEMIX_BENCH_SEEDS", "4"))
+    # TWEEDIEMIX_BENCH_MODE=lora measures BASELINE config 2 (stacked LoRA
+    # deltas + t_stop=0.9 window) as the headline; default cd.
+    mode = os.environ.get("TWEEDIEMIX_BENCH_MODE", "cd")
 
-    m = measure_image(on_tpu, quant, n_seeds)
+    m = measure_image(on_tpu, quant, n_seeds, mode=mode)
     dt = m["single_s"]
     result = _result
+    if mode != "cd":
+        result["mode"] = mode
     if "seeds_s" in m:
         dts = m["seeds_s"]
         # Headline = BASELINE.json's tracked metric: "2-concept SDXL

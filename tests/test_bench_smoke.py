@@ -68,3 +68,29 @@ def test_entry_compiles():
         assert out.shape[0] == 1
     finally:
         sys.path.remove(REPO)
+
+
+def test_bench_budget_skips_riders_with_reason():
+    """With a zero wall-clock budget every rider must be skipped with a
+    recorded reason (instead of the driver SIGKILLing mid-stage), while the
+    image headline still lands and the artifact stays rc=0."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["TWEEDIEMIX_BENCH_SEEDS"] = "0"
+    env["TWEEDIEMIX_BENCH_BUDGET_S"] = "0"
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu');"
+        "import runpy, sys; sys.argv=['bench.py'];"
+        f"runpy.run_path(r'{os.path.join(REPO, 'bench.py')}', run_name='__main__')"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], env=env, capture_output=True, text=True,
+        cwd=REPO, timeout=900,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    rec = json.loads(line)
+    assert rec["value"] > 0 and "partial" not in rec
+    for rider in ("seg", "video", "int8"):
+        assert "budget" in rec[f"{rider}_skipped"], rec
+        assert f"{rider}_error" not in rec

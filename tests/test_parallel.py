@@ -226,3 +226,152 @@ print("MULTIHOST_OK")
     assert proc.returncode == 0, proc.stdout + proc.stderr
     assert "MULTIHOST_OK" in proc.stdout
     assert "on 1 hosts" not in proc.stdout  # single-host print shape
+
+
+def _free_port():
+    import socket
+
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_multihost_two_process_train_step_matches_single(tmp_path):
+    """TRUE 2-process DCN seams (the reference's accelerate-DDP layout,
+    diffusers_training_xl_new.py:503-508): two coordinator-connected CPU
+    processes with 4 virtual devices each run one deterministic train step,
+    every host feeding only its disjoint half of the global batch through
+    place_global_batch; the updated parameters must equal a single-process
+    8-device run of the identical module bit-for-bit. Exercises the
+    cross-process replication, batch assembly (checked in-worker via a
+    replicated all-gather), and grad reduction that a single-process
+    bootstrap can never reach."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(repo, "tests", "_multihost_worker.py")
+
+    def env_with(devices):
+        env = dict(os.environ)
+        env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={devices}"
+        env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+        return env
+
+    single_npz = tmp_path / "single.npz"
+    proc = subprocess.run(
+        [sys.executable, worker, "single", str(single_npz)],
+        env=env_with(8), cwd=repo, capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+
+    coord = f"localhost:{_free_port()}"
+    npz = [tmp_path / "p0.npz", tmp_path / "p1.npz"]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, "dist", str(npz[pid]), coord, str(pid)],
+            env=env_with(4), cwd=repo,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in (0, 1)
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out
+        assert "WORKER_OK mode=dist" in out
+
+    want = np.load(single_npz)
+    got0, got1 = np.load(npz[0]), np.load(npz[1])
+    # the two processes execute the same compiled module over the same
+    # global data -> bitwise identical results on both hosts
+    np.testing.assert_array_equal(got0["params"], got1["params"])
+    np.testing.assert_array_equal(got0["loss"], got1["loss"])
+    # vs the single-process run only the grad-reduction tree differs (the
+    # cross-host psum reduces intra-host first, then over DCN), so FP
+    # summation order may shift a handful of elements by ~1 ULP; measured
+    # 6/279300 elements at <= 7.5e-9 absolute
+    for got in (got0, got1):
+        np.testing.assert_allclose(got["params"], want["params"],
+                                   rtol=0, atol=3e-8)
+        np.testing.assert_allclose(got["loss"], want["loss"], rtol=0, atol=1e-9)
+
+
+def test_train_cli_multihost_two_process(tmp_path):
+    """cli/train.py --multihost with TWO real processes end-to-end: the
+    branches a single-process bootstrap cannot execute — per-host data
+    streams, global batch assembly across DCN, the collective orbax resume
+    save at a --save_steps boundary (every process must enter it or
+    process 0 deadlocks in the opening barrier), and process-0-gated delta
+    checkpoint writes/prints."""
+    import glob
+    import os
+    import subprocess
+    import sys
+
+    import numpy as onp
+    from PIL import Image
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    inst = tmp_path / "inst"
+    inst.mkdir()
+    rng = onp.random.RandomState(0)
+    for i in range(3):
+        Image.fromarray(rng.randint(0, 255, (96, 80, 3), onp.uint8)).save(
+            inst / f"{i}.png")
+    out = tmp_path / "out"
+
+    script = tmp_path / "driver.py"
+    script.write_text(
+        """
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+coord, pid, inst, out = sys.argv[1], sys.argv[2], sys.argv[3], sys.argv[4]
+from tweediemix_tpu.cli.train import main as train_main
+rc = train_main([
+    "--model_preset", "tiny",
+    "--instance_data_dir", inst,
+    "--instance_prompt", "photo of a <new1> cat",
+    "--modifier_token", "<new1>",
+    "--resolution", "64",
+    "--max_train_steps", "2",
+    "--save_steps", "1",
+    "--train_batch_size", "1",
+    "--seed", "7",
+    "--output_dir", out,
+    "--multihost",
+    "--coordinator_address", coord,
+    "--num_processes", "2",
+    "--process_id", pid,
+])
+assert rc == 0, rc
+assert jax.process_count() == 2 and jax.device_count() == 8
+print("MULTIHOST2_OK")
+"""
+    )
+    coord = f"localhost:{_free_port()}"
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), coord, str(pid), str(inst), str(out)],
+            env=env, cwd=repo,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in (0, 1)
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, text in zip(procs, outs):
+        assert p.returncode == 0, text
+        assert "MULTIHOST2_OK" in text
+
+    # the boundary saves at steps 1 and 2 + the final save actually landed
+    assert glob.glob(str(out / "delta-*.bin")), list(out.iterdir())
+    assert (out / "resume").is_dir(), "collective orbax resume save missing"
+    # delta writes and step prints are process-0-gated
+    assert "saved" in outs[0] and "on 2 hosts" in outs[0]
+    assert "saved" not in outs[1] and "step 1:" not in outs[1]
