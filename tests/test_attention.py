@@ -264,3 +264,36 @@ def test_short_seq_attention_strongly_negative_scores():
     # softmax output is a convex combination of v rows — never all-zero
     assert np.abs(np.asarray(got)).max() > 1e-3
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-2)
+
+
+def test_bf16_scores_gate_parity(monkeypatch):
+    """TWEEDIEMIX_BF16_SCORES_MAX_SK materializes the softmax scores in bf16
+    for short key lengths (video temporal Sk=16, cross-attn Sk=77) and must
+    (a) match the fp32 path closely there, (b) leave long-Sk sites on the
+    fp32 path."""
+    # the ops package re-exports the attention *function*, which shadows the
+    # submodule on `import ... as`; resolve the module itself
+    import importlib
+
+    A = importlib.import_module("tweediemix_tpu.ops.attention")
+
+    rng = np.random.default_rng(7)
+    monkeypatch.setenv("TWEEDIEMIX_BF16_SCORES_MAX_SK", "128")
+    for bh, sq, sk, dh in [(8, 16, 16, 64), (2, 256, 77, 64)]:
+        q = jnp.asarray(rng.standard_normal((bh, sq, dh)), jnp.bfloat16)
+        k = jnp.asarray(rng.standard_normal((bh, sk, dh)), jnp.bfloat16)
+        v = jnp.asarray(rng.standard_normal((bh, sk, dh)), jnp.bfloat16)
+        got = A._xla_attention(q, k, v, dh**-0.5)
+        monkeypatch.setenv("TWEEDIEMIX_BF16_SCORES_MAX_SK", "0")
+        ref = A._xla_attention(q, k, v, dh**-0.5)
+        monkeypatch.setenv("TWEEDIEMIX_BF16_SCORES_MAX_SK", "128")
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(ref, np.float32), atol=5e-2)
+    # above the threshold the fp32 path is used: bit-identical to default
+    q = jnp.asarray(rng.standard_normal((2, 256, 64)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((2, 256, 64)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((2, 256, 64)), jnp.bfloat16)
+    got = A._xla_attention(q, k, v, 64**-0.5)
+    monkeypatch.delenv("TWEEDIEMIX_BF16_SCORES_MAX_SK")
+    ref = A._xla_attention(q, k, v, 64**-0.5)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))

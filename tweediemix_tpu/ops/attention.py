@@ -53,7 +53,35 @@ def _use_flash(sq: int, dh: int) -> bool:
     )
 
 
+def _bf16_scores_max_sk() -> int:
+    """bf16 score materialization for small key lengths.
+
+    The XLA fallback's [BH, Sq, Sk] fp32 score tensor round-trips HBM for
+    every softmax pass; at the video UNet's temporal sites (Sk=16, BH≈65k)
+    those tensors are tens of MB per call and the softmax is
+    bandwidth-bound. Casting the scores to bf16 in the matmul epilogue
+    halves that traffic. Gated to Sk <= this threshold because the softmax
+    denominator is then a bf16 sum over Sk positive values — fine at
+    Sk<=128, unsafe at Sk=4096.
+
+    Measured on the v5e chip (docs/PERF.md round 4): video step
+    512.8 → 504.5 ms (−1.6%) at threshold 128; the image fused step is
+    neutral (245.3 vs 244.6 ms — its only XLA-path site is cross-attn
+    Sk=77). Default: 32 on TPU (temporal sites only, image path untouched),
+    0 elsewhere. Override with TWEEDIEMIX_BF16_SCORES_MAX_SK=<n>."""
+    default = "32" if jax.default_backend() == "tpu" else "0"
+    return int(os.environ.get("TWEEDIEMIX_BF16_SCORES_MAX_SK", default))
+
+
 def _xla_attention(q, k, v, scale):
+    if 0 < k.shape[1] <= _bf16_scores_max_sk():
+        # fp32 MXU accumulation, bf16 materialization (cast fuses into the
+        # matmul epilogue); softmax runs in bf16 — exact max, rounded exp,
+        # and a short positive sum
+        s = jnp.einsum("bid,bjd->bij", q, k,
+                       preferred_element_type=jnp.float32) * scale
+        p = jax.nn.softmax(s.astype(jnp.bfloat16), axis=-1)
+        return jnp.einsum("bij,bjd->bid", p.astype(v.dtype), v).astype(q.dtype)
     s = jnp.einsum("bid,bjd->bij", q, k, preferred_element_type=jnp.float32) * scale
     p = jax.nn.softmax(s, axis=-1)
     return jnp.einsum("bij,bjd->bid", p.astype(v.dtype), v).astype(q.dtype)
