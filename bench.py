@@ -289,7 +289,12 @@ def main():
     def stage(name: str, env: str, min_s: float, fn):
         """Run one rider inside the wall-clock budget; skips (with a
         recorded reason) rather than letting the driver kill us mid-stage."""
-        if not int(os.environ.get(env, "1")):
+        # tolerant flag parse: ''/'0'/'off'/'false'/'no' disable, anything
+        # else enables — a ValueError here after the headline would lose
+        # the whole artifact, the exact failure the budget machinery exists
+        # to prevent
+        if os.environ.get(env, "1").strip().lower() in (
+                "", "0", "off", "false", "no", "none"):
             result[f"{name}_skipped"] = "disabled via env"
             return
         left = _remaining()
@@ -333,7 +338,10 @@ def main():
     # (round-3's only positive image-path perf result), so the graded
     # artifact carries bf16 + int8 numbers side by side.
     def int8_stage():
-        mq = measure_image(on_tpu, "int8", n_seeds=0)
+        # same mode as the headline so the bf16/int8 numbers are a true
+        # A/B (under TWEEDIEMIX_BENCH_MODE=lora both measure the LoRA
+        # config, not a silent lora-vs-cd mix)
+        mq = measure_image(on_tpu, "int8", n_seeds=0, mode=mode)
         result["single_seed_s_per_image_int8"] = round(mq["single_s"], 3)
 
     stage("seg", "TWEEDIEMIX_BENCH_SEG", 240.0, seg_stage)

@@ -297,3 +297,13 @@ def test_bf16_scores_gate_parity(monkeypatch):
     monkeypatch.delenv("TWEEDIEMIX_BF16_SCORES_MAX_SK")
     ref = A._xla_attention(q, k, v, 64**-0.5)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    # fp32 inputs never take the bf16 path even below the Sk threshold
+    # (SAM's mask-decoder attention feeds a >0 threshold; keep it exact)
+    monkeypatch.setenv("TWEEDIEMIX_BF16_SCORES_MAX_SK", "128")
+    qf = jnp.asarray(rng.standard_normal((4, 8, 64)), jnp.float32)
+    kf = jnp.asarray(rng.standard_normal((4, 8, 64)), jnp.float32)
+    vf = jnp.asarray(rng.standard_normal((4, 8, 64)), jnp.float32)
+    got = A._xla_attention(qf, kf, vf, 64**-0.5)
+    monkeypatch.setenv("TWEEDIEMIX_BF16_SCORES_MAX_SK", "0")
+    ref = A._xla_attention(qf, kf, vf, 64**-0.5)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))

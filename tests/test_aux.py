@@ -119,3 +119,18 @@ def test_compile_cache_enable_and_disable(tmp_path):
         assert any(cache.iterdir()), "no executable persisted to the cache dir"
     finally:
         jax.config.update("jax_compilation_cache_dir", None)
+
+    # boolean-style enable: TWEEDIEMIX_COMPILE_CACHE=1/on means "use the
+    # default dir" (symmetric with the repo's other 0/1 knobs), not a
+    # directory literally named "1"
+    from tweediemix_tpu.utils import compile_cache as cc
+
+    try:
+        with mock.patch.dict(os.environ, {"TWEEDIEMIX_COMPILE_CACHE": "1"}), \
+                mock.patch.object(cc, "default_cache_dir",
+                                  return_value=str(tmp_path / "defdir")):
+            got = cc.enable_compile_cache()
+            assert got == str(tmp_path / "defdir")
+            assert not (tmp_path / "1").exists()
+    finally:
+        jax.config.update("jax_compilation_cache_dir", None)

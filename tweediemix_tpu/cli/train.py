@@ -614,7 +614,7 @@ def main(argv=None) -> int:
                 # barrier under --multihost. Only the np-based delta save
                 # and prints stay main-gated.
                 save_resume_checkpoint(os.path.join(opt.output_dir, "resume"),
-                                       state)
+                                       state, step=opt_step)
                 if is_main:
                     print(f"saved {path}")
 

@@ -74,7 +74,11 @@ def _bf16_scores_max_sk() -> int:
 
 
 def _xla_attention(q, k, v, scale):
-    if 0 < k.shape[1] <= _bf16_scores_max_sk():
+    # dtype gate: only bf16 inputs (the UNet sites that were measured and
+    # parity-tested). fp32 callers — SAM's mask-decoder token attention
+    # (Sk≈8) — keep full-precision softmax; their outputs feed a >0 mask
+    # threshold where bf16 rounding could flip boundary pixels.
+    if q.dtype == jnp.bfloat16 and 0 < k.shape[1] <= _bf16_scores_max_sk():
         # fp32 MXU accumulation, bf16 materialization (cast fuses into the
         # matmul epilogue); softmax runs in bf16 — exact max, rounded exp,
         # and a short positive sum

@@ -266,13 +266,22 @@ def save_delta_checkpoint(
                          text_encoder=te_sd, text_encoder_2=te2_sd)
 
 
-def save_resume_checkpoint(ckpt_dir: str, state: FullTrainState):
-    """Full-state orbax checkpoint (trainer resume — absent in the reference)."""
+def save_resume_checkpoint(ckpt_dir: str, state: FullTrainState,
+                           step: int | None = None):
+    """Full-state orbax checkpoint (trainer resume — absent in the reference).
+
+    ``step`` names the checkpoint directory; pass the user-facing
+    *optimizer* step (``state.step`` is the micro-step counter and diverges
+    from it under gradient accumulation — ``--resume_step`` is specified in
+    optimizer steps). Defaults to ``int(state.step)`` for accum=1 callers.
+    The restored ``state.step`` comes from the checkpoint contents, so the
+    name is purely a lookup key."""
     import orbax.checkpoint as ocp
 
     ckpt_dir = os.path.abspath(ckpt_dir)
+    name_step = int(state.step) if step is None else int(step)
     with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(os.path.join(ckpt_dir, f"state_{int(state.step)}"), state, force=True)
+        ckptr.save(os.path.join(ckpt_dir, f"state_{name_step}"), state, force=True)
 
 
 def load_resume_checkpoint(ckpt_dir: str, step: int, template: FullTrainState) -> FullTrainState:

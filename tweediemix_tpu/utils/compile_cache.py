@@ -13,7 +13,8 @@ the 50-step fusion trajectory drops from minutes to seconds).
 Enabled by default in every CLI entry point and ``bench.py``. Controls:
 
 * ``TWEEDIEMIX_COMPILE_CACHE`` — cache directory (default
-  ``<repo>/.jax_cache``); set to ``0``/``off``/empty to disable.
+  ``<repo>/.jax_cache``); set to ``0``/``off``/empty to disable, or
+  ``1``/``on`` to force-enable with the default dir on any backend.
 
 The default-on path applies only when the backend is TPU: TPU executables
 are chip-targeted and host-independent, but XLA:CPU caches AOT machine
@@ -46,6 +47,10 @@ def enable_compile_cache(cache_dir: str | None = None) -> str | None:
     env = os.environ.get("TWEEDIEMIX_COMPILE_CACHE")
     if env is not None and env.lower() in ("", "0", "off", "none", "false"):
         return None
+    if env is not None and env.lower() in ("1", "on", "true", "yes"):
+        # boolean-style enable (symmetric with the repo's other 0/1 knobs):
+        # use the default dir and force-opt-in regardless of backend
+        env = default_cache_dir()
     import jax
 
     path = cache_dir or env
