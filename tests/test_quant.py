@@ -42,6 +42,22 @@ def test_w8a8_matmul_close_to_fp32():
     assert rel < 0.02, rel
 
 
+def test_w8a8_matmul_static_scale_close_to_fp32(monkeypatch):
+    # the TWEEDIEMIX_QUANT_STATIC_SCALE perf probe: a fixed per-tensor
+    # activation scale must stay numerically close when the given abs-max
+    # actually covers the activations (values beyond it clip by design)
+    key = jax.random.PRNGKey(7)
+    x = jax.random.normal(key, (4, 33, 64))
+    w = jax.random.normal(jax.random.fold_in(key, 1), (64, 96)) / 8.0
+    ref = x @ w
+    monkeypatch.setenv("TWEEDIEMIX_QUANT_STATIC_SCALE",
+                       str(float(jnp.max(jnp.abs(x)))))
+    got = w8a8_matmul(x, *quantize_weight_int8(w))
+    monkeypatch.delenv("TWEEDIEMIX_QUANT_STATIC_SCALE")
+    rel = np.linalg.norm(np.asarray(got - ref)) / np.linalg.norm(np.asarray(ref))
+    assert rel < 0.05, rel
+
+
 def test_w8a8_handles_zero_rows():
     # all-zero activation rows must not divide by zero
     x = jnp.zeros((2, 5, 16))

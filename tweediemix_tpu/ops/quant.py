@@ -31,6 +31,7 @@ be validated in this offline environment.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import flax.linen as nn
@@ -50,6 +51,21 @@ def quantize_weight_int8(w: jnp.ndarray):
     return wq, scale
 
 
+def _static_activation_scale() -> float:
+    """Trace-time override for the activation scale (perf experiment).
+
+    When set (``TWEEDIEMIX_QUANT_STATIC_SCALE=<abs-max>``), every
+    ``w8a8_matmul`` uses a fixed per-tensor activation scale of
+    ``<abs-max>/127`` instead of the dynamic per-row abs-max. The point:
+    without the cross-row reduce, the round/clip/int8-cast is purely
+    elementwise and fuses into the activation's *producer*, so the int8
+    store replaces the bf16 store instead of adding a second full pass
+    over the tensor. 0 (default) keeps the dynamic path. Static scales
+    are a *perf probe* — real deployments need per-site calibration for
+    quality (values here clip anything beyond the given abs-max)."""
+    return float(os.environ.get("TWEEDIEMIX_QUANT_STATIC_SCALE", "0"))
+
+
 def w8a8_matmul(
     x: jnp.ndarray, wq: jnp.ndarray, wscale: jnp.ndarray
 ) -> jnp.ndarray:
@@ -59,11 +75,17 @@ def w8a8_matmul(
     ``x.dtype``. The contraction runs on the MXU's int8 path
     (int32 accumulation).
     """
-    xf = x.astype(jnp.float32)
-    xscale = jnp.maximum(
-        jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0, 1e-12
-    )
-    xq = jnp.clip(jnp.round(xf / xscale), -127, 127).astype(jnp.int8)
+    static_amax = _static_activation_scale()
+    if static_amax > 0:
+        xscale = jnp.float32(static_amax / 127.0)
+        xq = jnp.clip(jnp.round(x.astype(jnp.float32) / xscale),
+                      -127, 127).astype(jnp.int8)
+    else:
+        xf = x.astype(jnp.float32)
+        xscale = jnp.maximum(
+            jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0, 1e-12
+        )
+        xq = jnp.clip(jnp.round(xf / xscale), -127, 127).astype(jnp.int8)
     acc = jax.lax.dot_general(
         xq, wq, (((x.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
