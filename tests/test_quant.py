@@ -58,6 +58,56 @@ def test_w8a8_matmul_static_scale_close_to_fp32(monkeypatch):
     assert rel < 0.05, rel
 
 
+def test_unet_per_site_calibrated_static_scales(tmp_path, monkeypatch):
+    """The deployable static-scale form (TWEEDIEMIX_QUANT_SCALES): calibrate
+    per-site activation abs-max on a warmup pass (tools/calibrate_quant.py
+    machinery), then run with fixed per-tensor scales — fidelity must match
+    the dynamic per-row path's contract (corr > 0.99 vs fp32)."""
+    import json
+    import sys
+
+    from tweediemix_tpu.models.unet2d import UNet2DConditionModel, UNetConfig
+    from tweediemix_tpu.ops.quant import _static_scales_table
+
+    sys.path.insert(0, "tools")
+    from calibrate_quant import calibrate
+
+    cfg = UNetConfig.micro()
+    qcfg = UNetConfig.micro(quant="int8")
+    unet, qunet = UNet2DConditionModel(cfg), UNet2DConditionModel(qcfg)
+
+    key = jax.random.PRNGKey(0)
+    h = w = cfg.sample_size
+    sample = 0.3 * jax.random.normal(key, (2, h, w, 4))
+    ctx = 0.3 * jax.random.normal(jax.random.fold_in(key, 1),
+                                  (2, 9, cfg.cross_attention_dim))
+    pooled = 0.3 * jax.random.normal(jax.random.fold_in(key, 2),
+                                     (2, cfg.pooled_projection_dim))
+    tids = jnp.zeros((2, 6))
+    args = (sample, jnp.int32(5), ctx, pooled, tids)
+    params = unet.init(key, *args)["params"]
+
+    monkeypatch.setenv("TWEEDIEMIX_QUANT_CALIBRATE", "1")
+    table = calibrate(qunet, params, [args], margin=1.25)
+    monkeypatch.delenv("TWEEDIEMIX_QUANT_CALIBRATE")
+    assert len(table) > 10  # every transformer matmul site got a scale
+    scales_path = tmp_path / "scales.json"
+    scales_path.write_text(json.dumps(table))
+
+    ref = unet.apply({"params": params}, *args)
+    monkeypatch.setenv("TWEEDIEMIX_QUANT_SCALES", str(scales_path))
+    _static_scales_table.cache_clear()
+    try:
+        got = qunet.apply({"params": params}, *args)
+    finally:
+        monkeypatch.delenv("TWEEDIEMIX_QUANT_SCALES")
+        _static_scales_table.cache_clear()
+    rel = np.linalg.norm(np.asarray(got - ref)) / np.linalg.norm(np.asarray(ref))
+    assert rel < 0.15, rel
+    c = np.corrcoef(np.asarray(ref).ravel(), np.asarray(got).ravel())[0, 1]
+    assert c > 0.99, c
+
+
 def test_w8a8_handles_zero_rows():
     # all-zero activation rows must not divide by zero
     x = jnp.zeros((2, 5, 16))

@@ -36,7 +36,9 @@ from tweediemix_tpu.ops.attention import multi_head_attention
 from tweediemix_tpu.ops.quant import (
     QConv,
     QDense,
+    module_site,
     quantize_weight_int8,
+    sow_amax,
     w8a8_matmul,
 )
 from tweediemix_tpu.ops.stacked import lora_delta, stacked_linear
@@ -209,7 +211,9 @@ class Attention(nn.Module):
             wv = _Kernel(ctx_dim, inner, name="to_v")()
             w = jnp.concatenate([wq, wk, wv], axis=1)
             if self.quant in ("int8", "int8_conv"):
-                qkv = w8a8_matmul(x, *quantize_weight_int8(w))
+                sow_amax(self, x, name="qkv")
+                qkv = w8a8_matmul(x, *quantize_weight_int8(w),
+                                  site=module_site(self) + "/qkv")
             else:
                 qkv = jnp.einsum("bsc,cd->bsd", x, w.astype(self.dtype))
             q, k, v = jnp.split(qkv, 3, axis=-1)

@@ -31,6 +31,8 @@ be validated in this offline environment.
 
 from __future__ import annotations
 
+import functools
+import json
 import os
 from typing import Optional
 
@@ -51,31 +53,63 @@ def quantize_weight_int8(w: jnp.ndarray):
     return wq, scale
 
 
-def _static_activation_scale() -> float:
-    """Trace-time override for the activation scale (perf experiment).
+@functools.lru_cache(maxsize=1)
+def _static_scales_table():
+    """Per-site calibrated activation abs-max table (trace-time).
 
-    When set (``TWEEDIEMIX_QUANT_STATIC_SCALE=<abs-max>``), every
-    ``w8a8_matmul`` uses a fixed per-tensor activation scale of
-    ``<abs-max>/127`` instead of the dynamic per-row abs-max. The point:
-    without the cross-row reduce, the round/clip/int8-cast is purely
-    elementwise and fuses into the activation's *producer*, so the int8
-    store replaces the bf16 store instead of adding a second full pass
-    over the tensor. 0 (default) keeps the dynamic path. Static scales
-    are a *perf probe* — real deployments need per-site calibration for
-    quality (values here clip anything beyond the given abs-max)."""
+    ``TWEEDIEMIX_QUANT_SCALES=<path.json>`` points at a JSON mapping of
+    module-path strings (``"/".join(scope path)``, as written by
+    ``tools/calibrate_quant.py``) → calibrated activation abs-max. Sites
+    present in the table use a *static* per-tensor scale; absent sites
+    keep the dynamic per-row path. Returns ``None`` when unset."""
+    path = os.environ.get("TWEEDIEMIX_QUANT_SCALES", "")
+    if not path:
+        return None
+    with open(path) as f:
+        return {k: float(v) for k, v in json.load(f).items()}
+
+
+def _static_activation_scale(site: Optional[str] = None) -> float:
+    """Trace-time override for the activation scale.
+
+    Resolution order: (1) the per-site calibrated table
+    (``TWEEDIEMIX_QUANT_SCALES``, see ``_static_scales_table``), (2) the
+    global ``TWEEDIEMIX_QUANT_STATIC_SCALE=<abs-max>`` knob. When either
+    yields a positive abs-max, ``w8a8_matmul`` uses a fixed per-tensor
+    activation scale of ``<abs-max>/127`` instead of the dynamic per-row
+    abs-max. The point: without the cross-row reduce, the round/clip/
+    int8-cast is purely elementwise and fuses into the activation's
+    *producer*, so the int8 store replaces the bf16 store instead of
+    adding a second full pass over the tensor. 0 (default) keeps the
+    dynamic path. The global knob is a perf probe (one value clips every
+    site); the per-site table is the deployable form — calibrate with
+    ``tools/calibrate_quant.py`` on a warmup pass."""
+    table = _static_scales_table()
+    if table is not None and site is not None and site in table:
+        return table[site]
     return float(os.environ.get("TWEEDIEMIX_QUANT_STATIC_SCALE", "0"))
 
 
+def _calibrating() -> bool:
+    """Whether modules should sow per-site activation abs-max stats
+    (``TWEEDIEMIX_QUANT_CALIBRATE=1``) into the ``quant_stats`` collection
+    for ``tools/calibrate_quant.py``."""
+    return os.environ.get("TWEEDIEMIX_QUANT_CALIBRATE", "0") not in (
+        "", "0", "off", "false", "no")
+
+
 def w8a8_matmul(
-    x: jnp.ndarray, wq: jnp.ndarray, wscale: jnp.ndarray
+    x: jnp.ndarray, wq: jnp.ndarray, wscale: jnp.ndarray,
+    site: Optional[str] = None,
 ) -> jnp.ndarray:
     """``x @ dequant(wq)`` with dynamic per-row int8 activation quantization.
 
     x: [..., K]; wq: int8 [K, N]; wscale: f32 [N]. Returns [..., N] in
     ``x.dtype``. The contraction runs on the MXU's int8 path
-    (int32 accumulation).
+    (int32 accumulation). ``site`` keys the optional static-scale lookup
+    (see ``_static_activation_scale``).
     """
-    static_amax = _static_activation_scale()
+    static_amax = _static_activation_scale(site)
     if static_amax > 0:
         xscale = jnp.float32(static_amax / 127.0)
         xq = jnp.clip(jnp.round(x.astype(jnp.float32) / xscale),
@@ -91,6 +125,34 @@ def w8a8_matmul(
         preferred_element_type=jnp.int32,
     )
     return (acc.astype(jnp.float32) * xscale * wscale).astype(x.dtype)
+
+
+def module_site(module: nn.Module) -> str:
+    """Stable site key for a linen module: its scope path joined with "/".
+
+    Matches both the keys ``tools/calibrate_quant.py`` writes (the
+    ``quant_stats`` sow paths) and the lookups in ``w8a8_matmul``."""
+    try:
+        return "/".join(module.scope.path)
+    except Exception:
+        return ""
+
+
+def sow_amax(module: nn.Module, x: jnp.ndarray, name: str = "amax") -> None:
+    """During calibration runs, record this site's activation abs-max.
+
+    A no-op unless ``TWEEDIEMIX_QUANT_CALIBRATE=1`` *and* the caller made
+    the ``quant_stats`` collection mutable (``model.apply(...,
+    mutable=["quant_stats"])``). The flattened ``quant_stats`` path maps
+    back to the ``w8a8_matmul`` site key by dropping a trailing ``/amax``
+    (any other leaf name is part of the site, e.g. the merged-qkv site's
+    ``.../qkv``)."""
+    if _calibrating():
+        module.sow(
+            "quant_stats", name,
+            jnp.max(jnp.abs(x.astype(jnp.float32))),
+            reduce_fn=jnp.maximum, init_fn=lambda: jnp.float32(0),
+        )
 
 
 def quantize_weight_int8_conv(w: jnp.ndarray):
@@ -203,7 +265,9 @@ class QDense(nn.Module):
             jnp.float32,
         )
         if self.quant in ("int8", "int8_conv"):
-            y = w8a8_matmul(x, *quantize_weight_int8(kernel))
+            sow_amax(self, x)
+            y = w8a8_matmul(x, *quantize_weight_int8(kernel),
+                            site=module_site(self))
         else:
             y = x.astype(self.dtype) @ kernel.astype(self.dtype)
         if self.use_bias:
