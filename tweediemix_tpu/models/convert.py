@@ -592,3 +592,293 @@ def vae_config_overrides(vae_dir: str) -> Dict:
 
 def load_clip_params(enc_dir: str, dtype=np.float32) -> Dict:
     return convert_clip_state_dict(load_torch_state_dict(enc_dir), dtype=dtype)
+
+
+# ---------------------------------------------------------------------------
+# GroundingDINO (models/dino.py) — the reference's shipped detector weights
+# (text_segment/lang_sam/lang_sam.py:89-93, groundingdino_swinb_cogcoor.pth)
+# ---------------------------------------------------------------------------
+
+# leaves that are 2-D but must NOT be transposed (tables/embeddings)
+_DINO_NO_TRANSPOSE = (
+    "relative_position_bias_table",
+    "word_embeddings",
+    "position_embeddings",
+    "token_type_embeddings",
+    "query_position_embeddings",
+    "level_embed",
+)
+
+
+def _dino_original_to_hf(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Pre-rename the ORIGINAL groundingdino repo layout (the reference's
+    shipped ``groundingdino_swinb_cogcoor.pth`` after clean_state_dict) to
+    the HF ``GroundingDinoForObjectDetection`` layout, then the HF pass
+    below does the flax conversion. The HF path is torch-parity-tested;
+    this rename is best-effort from the upstream module names and should be
+    spot-checked per docs/RUNBOOK.md the first time real weights load
+    (strict ``validate_params_tree`` fails loudly on any miss)."""
+    out = {}
+    for name, arr in sd.items():
+        n = name
+        if n.startswith("module."):
+            n = n[len("module."):]
+        if n.startswith("backbone.0."):
+            n = n[len("backbone.0."):]
+            if n.startswith("patch_embed.proj"):
+                n = n.replace("patch_embed.proj", "embeddings.patch_embeddings.projection")
+            elif n.startswith("patch_embed.norm"):
+                n = n.replace("patch_embed.norm", "embeddings.norm")
+            elif re.match(r"norm(\d)\.", n):
+                k = int(n[4])
+                n = f"hidden_states_norms.stage{k + 1}." + n.split(".", 1)[1]
+            else:
+                n = "encoder." + n
+                n = n.replace(".norm1.", ".layernorm_before.")
+                n = n.replace(".norm2.", ".layernorm_after.")
+                n = n.replace(".attn.proj.", ".attention.output.dense.")
+                n = n.replace(".attn.relative_position_bias_table",
+                              ".attention.self.relative_position_bias_table")
+                n = n.replace(".attn.relative_position_index",
+                              ".attention.self.relative_position_index")
+                n = n.replace(".mlp.fc1.", ".intermediate.dense.")
+                n = n.replace(".mlp.fc2.", ".output.dense.")
+                if ".attn.qkv." in n:
+                    # merged qkv → separate query/key/value
+                    q, k, v = np.split(arr, 3, axis=0)
+                    for part, a in (("query", q), ("key", k), ("value", v)):
+                        out["model.backbone.conv_encoder.model."
+                            + n.replace(".attn.qkv.", f".attention.self.{part}.")] = a
+                    continue
+            out["model.backbone.conv_encoder.model." + n] = arr
+            continue
+        if n.startswith("bert."):
+            if "pooler" in n or n.endswith("position_ids"):
+                continue
+            out["model.text_backbone." + n[len("bert."):]] = arr
+            continue
+        if n.startswith("feat_map."):
+            out["model.text_projection." + n[len("feat_map."):]] = arr
+            continue
+        if n.startswith("input_proj."):
+            out["model.input_proj_vision." + n[len("input_proj."):]] = arr
+            continue
+        if n.startswith("bbox_embed."):
+            out[n] = arr
+            continue
+        if n.startswith("transformer."):
+            n = n[len("transformer."):]
+            if n == "level_embed":
+                out["model.level_embed"] = arr
+                continue
+            if n.startswith("tgt_embed."):
+                out["model.query_position_embeddings.weight"] = arr
+                continue
+            if n.startswith("enc_output."):
+                out["model.enc_output." + n[len("enc_output."):]] = arr
+                continue
+            if n.startswith("enc_output_norm."):
+                out["model.enc_output_norm." + n[len("enc_output_norm."):]] = arr
+                continue
+            if n.startswith("enc_out_bbox_embed."):
+                out["model.encoder_output_bbox_embed." + n[len("enc_out_bbox_embed."):]] = arr
+                continue
+            if n.startswith("decoder.bbox_embed."):
+                out["bbox_embed." + n[len("decoder.bbox_embed."):]] = arr
+                continue
+            if n.startswith("decoder.norm."):
+                out["model.decoder.layer_norm." + n[len("decoder.norm."):]] = arr
+                continue
+            if n.startswith("decoder.ref_point_head."):
+                out["model.decoder.reference_points_head."
+                    + n[len("decoder.ref_point_head."):]] = arr
+                continue
+            m = re.match(r"encoder\.layers\.(\d+)\.(.*)", n)
+            if m:
+                i, rest = m.group(1), m.group(2)
+                rest = rest.replace("linear1.", "fc1.").replace("linear2.", "fc2.")
+                rest = rest.replace("norm1.", "self_attn_layer_norm.")
+                rest = rest.replace("norm2.", "final_layer_norm.")
+                out[f"model.encoder.layers.{i}.deformable_layer.{rest}"] = arr
+                continue
+            m = re.match(r"encoder\.text_layers\.(\d+)\.(.*)", n)
+            if m:
+                i, rest = m.group(1), m.group(2)
+                rest = rest.replace("linear1.", "fc1.").replace("linear2.", "fc2.")
+                rest = rest.replace("norm1.", "layer_norm_before.")
+                rest = rest.replace("norm2.", "layer_norm_after.")
+                base = f"model.encoder.layers.{i}.text_enhancer_layer."
+                if "self_attn.in_proj_" in rest:
+                    leaf = "weight" if rest.endswith("weight") else "bias"
+                    q, k, v = np.split(arr, 3, axis=0)
+                    for part, a in (("query", q), ("key", k), ("value", v)):
+                        out[base + f"self_attn.{part}.{leaf}"] = a
+                    continue
+                out[base + rest] = arr
+                continue
+            m = re.match(r"encoder\.fusion_layers\.(\d+)\.(.*)", n)
+            if m:
+                i, rest = m.group(1), m.group(2)
+                rest = (rest.replace("gamma_v", "vision_param")
+                        .replace("gamma_l", "text_param")
+                        .replace("layer_norm_v.", "layer_norm_vision.")
+                        .replace("layer_norm_l.", "layer_norm_text.")
+                        .replace("attn.values_v_proj.", "attn.values_vision_proj.")
+                        .replace("attn.values_l_proj.", "attn.values_text_proj.")
+                        .replace("attn.out_v_proj.", "attn.out_vision_proj.")
+                        .replace("attn.out_l_proj.", "attn.out_text_proj.")
+                        .replace("attn.v_proj.", "attn.vision_proj.")
+                        .replace("attn.l_proj.", "attn.text_proj."))
+                out[f"model.encoder.layers.{i}.fusion_layer.{rest}"] = arr
+                continue
+            m = re.match(r"decoder\.layers\.(\d+)\.(.*)", n)
+            if m:
+                i, rest = m.group(1), m.group(2)
+                rest = (rest.replace("cross_attn_text.", "encoder_attn_text.")
+                        .replace("ca_text.", "encoder_attn_text.")
+                        .replace("catext_norm.", "encoder_attn_text_layer_norm.")
+                        .replace("cross_attn.", "encoder_attn.")
+                        .replace("norm1.", "encoder_attn_layer_norm.")
+                        .replace("norm2.", "self_attn_layer_norm.")
+                        .replace("norm3.", "final_layer_norm.")
+                        .replace("linear1.", "fc1.").replace("linear2.", "fc2."))
+                base = f"model.decoder.layers.{i}."
+                if "in_proj_" in rest:
+                    leaf = "weight" if rest.endswith("weight") else "bias"
+                    mod = rest.split(".in_proj_")[0]
+                    q, k, v = np.split(arr, 3, axis=0)
+                    for part, a in (("query", q), ("key", k), ("value", v)):
+                        out[base + f"{mod}.{part}.{leaf}"] = a
+                    continue
+                out[base + rest] = arr
+                continue
+        # anything unmapped passes through; validate_params_tree reports it
+        out[n] = arr
+    return out
+
+
+def convert_grounding_dino_state_dict(sd: Dict[str, np.ndarray], dtype=None) -> Dict:
+    """HF ``GroundingDinoForObjectDetection`` (or the original groundingdino
+    repo layout, auto-detected) → our ``models/dino.py::GroundingDino``
+    params. Torch-parity-tested at tiny scale in tests/test_dino_parity.py."""
+    if any(k.startswith(("transformer.", "bert.", "backbone.0."))
+           or k.startswith("module.") for k in sd):
+        sd = _dino_original_to_hf(sd)
+
+    out = {}
+    bbox_seen = set()
+    for name, arr in sd.items():
+        n = name
+        if n.endswith("position_ids") or n.endswith("relative_position_index"):
+            continue  # buffers
+        # the shared bbox head appears decoder_layers times; keep one copy
+        m = re.match(r"(?:model\.decoder\.)?bbox_embed\.(\d+)\.(.*)", n)
+        if m:
+            if m.group(1) != "0":
+                continue
+            n = "bbox_embed." + m.group(2)
+            if n in bbox_seen:
+                continue
+            bbox_seen.add(n)
+        if n.startswith("model."):
+            n = n[len("model."):]
+
+        # --- section renames (HF name → our flax path, dot-separated) ---
+        if n.startswith("backbone.conv_encoder.model."):
+            n = n[len("backbone.conv_encoder.model."):]
+            n = n.replace("embeddings.patch_embeddings.projection", "patch_embed")
+            n = n.replace("embeddings.norm", "patch_norm")
+            n = re.sub(r"encoder\.layers\.(\d+)\.blocks\.(\d+)\.",
+                       r"layers_\1_blocks_\2.", n)
+            n = re.sub(r"encoder\.layers\.(\d+)\.downsample\.",
+                       r"layers_\1_downsample.", n)
+            n = n.replace("attention.self.", "attention.")
+            n = n.replace("attention.output.dense", "attention.out")
+            n = n.replace("intermediate.dense", "intermediate")
+            n = re.sub(r"output\.dense\.(weight|bias)$", r"output.\1", n)
+            n = re.sub(r"hidden_states_norms\.stage(\d+)", r"norm_stage\1", n)
+            n = "backbone." + n
+        elif n.startswith("text_backbone."):
+            n = n[len("text_backbone."):]
+            n = n.replace("embeddings.word_embeddings.weight", "word_embeddings")
+            n = n.replace("embeddings.position_embeddings.weight", "position_embeddings")
+            n = n.replace("embeddings.token_type_embeddings.weight", "token_type_embeddings")
+            n = n.replace("embeddings.LayerNorm", "embeddings_norm")
+            n = re.sub(r"encoder\.layer\.(\d+)\.", r"layer_\1.", n)
+            n = n.replace("attention.self.", "")
+            n = n.replace("attention.output.dense", "attn_out")
+            n = n.replace("attention.output.LayerNorm", "attn_norm")
+            n = n.replace("intermediate.dense", "intermediate")
+            n = n.replace("output.dense", "output")
+            n = n.replace("output.LayerNorm", "output_norm")
+            n = "text_backbone." + n
+        elif re.match(r"input_proj_vision\.(\d+)\.(0|1)\.", n):
+            m = re.match(r"input_proj_vision\.(\d+)\.(0|1)\.(.*)", n)
+            kind = "conv" if m.group(2) == "0" else "norm"
+            n = f"input_proj_{m.group(1)}_{kind}.{m.group(3)}"
+        elif n.startswith("query_position_embeddings.weight"):
+            n = "query_position_embeddings.embedding"
+        elif n.startswith("encoder.layers."):
+            n = re.sub(r"encoder\.layers\.(\d+)\.", r"encoder_layers_\1.", n)
+        elif n.startswith("decoder.layers."):
+            n = re.sub(r"decoder\.layers\.(\d+)\.", r"decoder_layers_\1.", n)
+        elif n.startswith("decoder.layer_norm."):
+            n = n.replace("decoder.layer_norm.", "decoder_layer_norm.")
+        elif n.startswith("decoder.reference_points_head."):
+            n = n.replace("decoder.reference_points_head.", "reference_points_head.")
+        n = re.sub(r"layers\.(\d+)\.", r"layers_\1.", n)  # MLP heads
+
+        parts = n.split(".")
+        leaf = parts[-1]
+        if leaf == "weight":
+            if arr.ndim == 1:
+                leaf = "scale"
+            else:
+                leaf = "kernel"
+                if any(t in parts[-2] for t in ("patch_embed",)) or arr.ndim == 4:
+                    if arr.ndim == 4:
+                        arr = arr.transpose(2, 3, 1, 0)
+                elif parts[-2] in ("word_embeddings", "position_embeddings",
+                                   "token_type_embeddings"):
+                    leaf = parts[-2]
+                    parts = parts[:-1]
+                elif arr.ndim == 2:
+                    arr = arr.T
+        if leaf in ("vision_param", "text_param", "level_embed",
+                    "relative_position_bias_table", "word_embeddings",
+                    "position_embeddings", "token_type_embeddings", "embedding"):
+            pass  # untransposed leaves keep their own names
+        else:
+            parts[-1] = leaf
+        if dtype is not None and arr.dtype in (np.float32, np.float16):
+            arr = arr.astype(dtype)
+        out[tuple(parts)] = jnp.asarray(arr)
+    return traverse_util.unflatten_dict(out)
+
+
+def load_dino_params(path: str, dtype=np.float32) -> Dict:
+    """Load a GroundingDINO checkpoint: an HF-layout dir (safetensors/bin)
+    or the original repo's single ``.pth`` file (``{"model": state_dict}``,
+    e.g. groundingdino_swinb_cogcoor.pth)."""
+    if os.path.isdir(path):
+        sd = load_torch_state_dict(path)
+    else:
+        import torch
+
+        ckpt = torch.load(path, map_location="cpu", weights_only=True)
+        sd = ckpt.get("model", ckpt)
+        sd = {k: np.asarray(v.float().numpy()) for k, v in sd.items()}
+    return convert_grounding_dino_state_dict(sd, dtype=dtype)
+
+
+def validate_dino_params(cfg, params) -> None:
+    from tweediemix_tpu.models.dino import GroundingDino
+
+    model = GroundingDino(cfg)
+    s = cfg.swin.image_size
+    shapes = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0),
+        _S((1, s, s, 3)), _S((1, 8), np.int32), _S((1, 8, 8), bool),
+        _S((1, 8), np.int32), _S((1, 8), bool),
+    )["params"]
+    validate_params_tree(params, shapes, "grounding-dino")

@@ -28,12 +28,15 @@ DETECTOR_DIR_ENV = "TWEEDIEMIX_DETECTOR_DIR"
 
 def make_segment_fn(seg_concepts: str, output_path: str, preset: str = "heuristic",
                     sam_checkpoint: str = None, detector_dir: str = None,
-                    box_threshold: float = 0.20):
+                    box_threshold: float = 0.20, detector: str = "auto"):
     """In-process segment_fn for the fusion sampler.
 
-    ``preset='sam'`` loads converted SAM + OWL-ViT weights from
+    ``preset='sam'`` loads converted SAM + detector weights from
     ``sam_checkpoint``/``detector_dir`` (or the ``TWEEDIEMIX_SAM_CHECKPOINT``
-    / ``TWEEDIEMIX_DETECTOR_DIR`` env vars); ``'heuristic'`` is the
+    / ``TWEEDIEMIX_DETECTOR_DIR`` env vars) — ``detector`` picks the box
+    model: ``'owlvit'`` (HF dir), ``'dino'`` (the reference's GroundingDINO,
+    models/dino.py; accepts groundingdino_swinb_cogcoor.pth), or ``'auto'``
+    to sniff the checkpoint; ``'heuristic'`` is the
     weights-free fallback; ``'sam-random'`` random-initializes tiny models
     (tests/demos)."""
     concepts = seg_concepts.split("+")
@@ -61,7 +64,8 @@ def make_segment_fn(seg_concepts: str, output_path: str, preset: str = "heuristi
                 f"or the {SAM_CHECKPOINT_ENV}/{DETECTOR_DIR_ENV} env vars"
             )
         ls = LangSAM.from_pretrained(sam_checkpoint, detector_dir,
-                                     box_threshold=box_threshold)
+                                     box_threshold=box_threshold,
+                                     detector=detector)
         return make_model_segment_fn(ls, seg_concepts)
     raise ValueError(
         f"unknown segment preset {preset!r}; use 'sam', 'sam-random', "

@@ -35,42 +35,78 @@ SAM_PIXEL_STD = (58.395, 57.12, 57.375)
 
 
 class LangSAM:
-    def __init__(self, sam_cfg: SAMConfig, sam_params, det_cfg: DetectorConfig,
-                 det_params, tokenizer, box_threshold: float = 0.20):
+    def __init__(self, sam_cfg: SAMConfig, sam_params, det_cfg: DetectorConfig = None,
+                 det_params=None, tokenizer=None, box_threshold: float = 0.20,
+                 dino=None):
         self.sam = SAM(sam_cfg)
         self.sam_params = sam_params
-        self.detector = TextBoxDetector(det_cfg)
-        self.det_params = det_params
+        # detector backend: OWL-ViT (the SURVEY §7.5 default swap) or the
+        # reference's own GroundingDINO (models/dino.py::DinoDetector)
+        self.dino = dino
+        if dino is None:
+            self.detector = TextBoxDetector(det_cfg)
+            self.det_params = det_params
+            self._detect = jax.jit(
+                lambda p, img, ids: self.detector.apply({"params": p}, img, ids)
+            )
         self.tokenizer = tokenizer
         self.box_threshold = box_threshold
-        self._detect = jax.jit(
-            lambda p, img, ids: self.detector.apply({"params": p}, img, ids)
-        )
         self._segment = jax.jit(
             lambda p, img, boxes: self.sam.apply({"params": p}, img, boxes)
         )
 
     @classmethod
     def from_pretrained(cls, sam_checkpoint: str, detector_dir: str,
-                        box_threshold: float = 0.20):
+                        box_threshold: float = 0.20, detector: str = "auto"):
         """Real-weights LangSAM from local checkpoints.
 
         ``sam_checkpoint``: a segment-anything ``.pth``/safetensors file or
         dir (ViT-H); ``detector_dir``: an HF-layout OWL-ViT detection dir
-        (``google/owlvit-base-patch32``: model weights + vocab.json/
-        merges.txt). Mirrors the reference's
-        ``text_segment/lang_sam/lang_sam.py:20-24`` model pair, loaded from
-        disk instead of the hub."""
-        from tweediemix_tpu.models.convert import load_detector_params, load_sam_params
-        from tweediemix_tpu.utils.tokenizer import CLIPBPETokenizer
-
-        sam_cfg = SAMConfig.vit_h()
-        det_cfg = DetectorConfig.owlvit_base_patch32()
-        sam_params = load_sam_params(sam_checkpoint)
-        det_params = load_detector_params(detector_dir)
-        tok_dir = detector_dir
+        (``google/owlvit-base-patch32``), OR a GroundingDINO checkpoint —
+        the reference's shipped ``groundingdino_swinb_cogcoor.pth`` or an
+        HF ``grounding-dino-*`` dir (needs ``vocab.txt`` beside it).
+        ``detector``: "owlvit" | "dino" | "auto" (sniff the checkpoint).
+        Mirrors the reference's ``text_segment/lang_sam/lang_sam.py:20-24``
+        model pair, loaded from disk instead of the hub."""
         import os
 
+        from tweediemix_tpu.models.convert import load_sam_params
+
+        sam_cfg = SAMConfig.vit_h()
+        sam_params = load_sam_params(sam_checkpoint)
+
+        if detector == "auto":
+            detector = "owlvit"
+            if os.path.isfile(detector_dir):
+                detector = "dino"  # a single .pth = the groundingdino ckpt
+            else:
+                cfg_path = os.path.join(detector_dir, "config.json")
+                if os.path.exists(cfg_path):
+                    import json
+
+                    with open(cfg_path) as f:
+                        if "grounding" in json.load(f).get("model_type", ""):
+                            detector = "dino"
+
+        if detector == "dino":
+            from tweediemix_tpu.models.convert import load_dino_params
+            from tweediemix_tpu.models.dino import DinoConfig, DinoDetector
+            from tweediemix_tpu.utils.tokenizer import BertWordPieceTokenizer
+
+            dino_params = load_dino_params(detector_dir)
+            tok_dir = (os.path.dirname(detector_dir)
+                       if os.path.isfile(detector_dir) else detector_dir)
+            tokenizer = BertWordPieceTokenizer.from_dir(tok_dir)
+            dino = DinoDetector(DinoConfig.swin_b(), dino_params, tokenizer)
+            return cls(sam_cfg, sam_params, box_threshold=box_threshold,
+                       dino=dino)
+
+        from tweediemix_tpu.models.convert import load_detector_params
+        from tweediemix_tpu.utils.tokenizer import CLIPBPETokenizer
+
+        det_cfg = DetectorConfig.owlvit_base_patch32()
+        det_params = load_detector_params(detector_dir)
+        tok_dir = detector_dir
         if not os.path.exists(os.path.join(tok_dir, "vocab.json")):
             tok_dir = os.path.join(detector_dir, "tokenizer")
         tokenizer = CLIPBPETokenizer.from_dir(
@@ -106,12 +142,15 @@ class LangSAM:
         """
         thr = box_threshold if box_threshold is not None else self.box_threshold
         h, w = image.shape[:2]
-        det_size = self.detector.config.vision.image_size
-        det_img = jax.image.resize(image, (det_size, det_size, 3), "bilinear")[None]
-        det_img = (det_img - jnp.asarray(CLIP_IMAGE_MEAN)) / jnp.asarray(CLIP_IMAGE_STD)
-        max_len = self.detector.config.text.max_positions
-        ids = jnp.asarray(self.tokenizer([text]), jnp.int32)[:, :max_len]
-        boxes, scores = self._detect(self.det_params, det_img, ids)
+        if self.dino is not None:
+            boxes, scores = self.dino(image, text, thr)
+        else:
+            det_size = self.detector.config.vision.image_size
+            det_img = jax.image.resize(image, (det_size, det_size, 3), "bilinear")[None]
+            det_img = (det_img - jnp.asarray(CLIP_IMAGE_MEAN)) / jnp.asarray(CLIP_IMAGE_STD)
+            max_len = self.detector.config.text.max_positions
+            ids = jnp.asarray(self.tokenizer([text]), jnp.int32)[:, :max_len]
+            boxes, scores = self._detect(self.det_params, det_img, ids)
 
         sam_size = self.sam.config.image_size
         sam_img = jax.image.resize(image, (sam_size, sam_size, 3), "bilinear")[None]

@@ -254,3 +254,85 @@ class HashTokenizer:
         if isinstance(texts, str):
             texts = [texts]
         return [self.encode(t) for t in texts]
+
+
+class BertWordPieceTokenizer:
+    """Minimal BERT WordPiece tokenizer (uncased) for the GroundingDINO
+    caption path (``models/dino.py``): lowercase → punctuation/CJK split →
+    greedy longest-match wordpiece, wrapped in [CLS]/[SEP]. Needs the
+    checkpoint's ``vocab.txt`` (bert-base-uncased layout). Parity-tested
+    against transformers BertTokenizer in tests/test_dino_parity.py."""
+
+    def __init__(self, vocab: "Dict[str, int]"):
+        self.vocab = vocab
+        self.cls_id = vocab["[CLS]"]
+        self.sep_id = vocab["[SEP]"]
+        self.unk_id = vocab["[UNK]"]
+
+    @classmethod
+    def from_dir(cls, path: str) -> "BertWordPieceTokenizer":
+        import os
+
+        vf = path if path.endswith("vocab.txt") else os.path.join(path, "vocab.txt")
+        with open(vf, encoding="utf-8") as f:
+            vocab = {line.rstrip("\n"): i for i, line in enumerate(f)}
+        return cls(vocab)
+
+    @staticmethod
+    def _basic(text: str) -> "list[str]":
+        import unicodedata
+
+        text = unicodedata.normalize("NFD", text.lower())
+        text = "".join(c for c in text if unicodedata.category(c) != "Mn")
+        out, cur = [], []
+        for ch in text:
+            cat = unicodedata.category(ch)
+            if ch.isspace():
+                if cur:
+                    out.append("".join(cur))
+                    cur = []
+            elif cat.startswith("P") or (0x4E00 <= ord(ch) <= 0x9FFF):
+                if cur:
+                    out.append("".join(cur))
+                    cur = []
+                out.append(ch)
+            elif cat.startswith("C"):
+                continue  # control chars
+            else:
+                cur.append(ch)
+        if cur:
+            out.append("".join(cur))
+        return out
+
+    def _wordpiece(self, word: str) -> "list[int]":
+        if len(word) > 100:
+            return [self.unk_id]
+        ids, start = [], 0
+        while start < len(word):
+            end = len(word)
+            piece = None
+            while start < end:
+                sub = word[start:end]
+                if start > 0:
+                    sub = "##" + sub
+                if sub in self.vocab:
+                    piece = self.vocab[sub]
+                    break
+                end -= 1
+            if piece is None:
+                return [self.unk_id]
+            ids.append(piece)
+            start = end
+        return ids
+
+    def encode(self, text: str) -> "list[int]":
+        ids = [self.cls_id]
+        for word in self._basic(text):
+            ids.extend(self._wordpiece(word))
+        ids.append(self.sep_id)
+        return ids
+
+    def __call__(self, texts) -> "list[list[int]]":
+        if isinstance(texts, str):
+            texts = [texts]
+        return [self.encode(t) for t in texts]
