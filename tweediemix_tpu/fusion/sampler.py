@@ -340,18 +340,21 @@ class FusionSampler:
         return jnp.stack(rows) * self.table.init_noise_sigma
 
     def run(self, embeds: TextEmbeds, key, fg_masks: Optional[jnp.ndarray] = None,
-            num_seeds: int = 1):
+            num_seeds: int = 1, x_init: Optional[jnp.ndarray] = None):
         """Full trajectory. ``fg_masks`` (image-res [N-1, H, W]) may be
         supplied to skip the in-loop segmentation (the reference's
         precomputed-mask path via mask JPGs, fusion_sampling.py:461-466).
         ``num_seeds`` > 1 samples that many seeds batched through every
-        forward (the v5e-8 "seeds in parallel" serving config).
+        forward (the v5e-8 "seeds in parallel" serving config). ``x_init``
+        overrides the initial latent (multi-host serving stamps the
+        deterministic ``init_latent`` output with a global replicated
+        sharding first — ``parallel/mesh.py::globalize``).
 
         Returns the final latent x0 [S, h, w, 4] (pre-VAE-decode).
         """
         cfg = self.config
         params = self.unet_params
-        x = self.init_latent(key, num_seeds)
+        x = self.init_latent(key, num_seeds) if x_init is None else x_init
         x, x0 = self._jit_prologue(params, embeds, x)
         x, x0_last = self._jit_joint(params, embeds, x, start=1, stop=cfg.t_cond_idx)
         if x0_last is None:

@@ -155,3 +155,43 @@ def pad_rows_to(x, n: int):
     import jax.numpy as jnp
 
     return jnp.concatenate(reps, axis=0), b
+
+
+def globalize(mesh: Mesh, tree):
+    """Promote process-local (host or single-device) arrays to *globally
+    replicated* arrays on a (possibly multi-process) mesh.
+
+    The multi-host serving input layout: params, text embeds, fg masks, and
+    the seed latents are deterministic from (checkpoint, prompt, seed), so
+    every process computes identical values locally and this stamps them
+    with a replicated global sharding — no DCN traffic, just metadata. The
+    jitted trajectory then reshards batch rows over the global axis via
+    ``seed_sharded_unet_fn``. On a single-process mesh this is
+    :func:`replicate`.
+    """
+    sharding = NamedSharding(mesh, P())
+
+    def place(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            return x  # already global
+        return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+
+    return jax.tree.map(place, tree)
+
+
+def host_gather(x):
+    """Fetch a (possibly cross-process-sharded) array to every host as
+    numpy — the serving output path: seeds sharded over a multi-host mesh
+    come back to process 0 for image decode/writes (an allgather over DCN;
+    on one process it is a plain device_get)."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(jax.device_get(x))
+
+
+def is_primary_process() -> bool:
+    """True on the process that should perform writes (images, metrics) —
+    the multi-host equivalent of the reference's rank-0 checks."""
+    return jax.process_index() == 0
