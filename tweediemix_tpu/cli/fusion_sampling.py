@@ -75,6 +75,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="HF-layout OWL-ViT detection dir for --seg_preset sam")
     p.add_argument("--box_threshold", type=float, default=0.20,
                    help="detector score threshold (lang_sam.py predict)")
+    p.add_argument("--detector", type=str, default="auto",
+                   choices=["auto", "owlvit", "dino"],
+                   help="box-detector backend for the sam preset: OWL-ViT "
+                        "(HF dir), the reference's GroundingDINO "
+                        "(models/dino.py; accepts the shipped "
+                        "groundingdino_swinb_cogcoor.pth), or sniff the "
+                        "checkpoint (auto)")
     p.add_argument("--profile", type=str, default=None,
                    help="directory for a jax.profiler trace + phase timings")
     p.add_argument("--num_seeds", type=int, default=1,
@@ -217,6 +224,7 @@ def resolve_segment_fn(opt):
             opt.seg_concepts, opt.output_path, opt.seg_preset,
             sam_checkpoint=opt.sam_checkpoint, detector_dir=opt.detector_dir,
             box_threshold=opt.box_threshold,
+            detector=getattr(opt, "detector", "auto"),
         )
     return None
 

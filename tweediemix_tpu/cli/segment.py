@@ -26,6 +26,13 @@ def build_parser():
     p.add_argument("--detector_dir", type=str, default=None,
                    help="HF-layout OWL-ViT detection dir for --seg_preset sam")
     p.add_argument("--box_threshold", type=float, default=0.20)
+    p.add_argument("--detector", type=str, default="auto",
+                   choices=["auto", "owlvit", "dino"],
+                   help="box-detector backend for --seg_preset sam: OWL-ViT "
+                        "(HF dir), the reference's GroundingDINO "
+                        "(models/dino.py; accepts the shipped "
+                        "groundingdino_swinb_cogcoor.pth), or sniff the "
+                        "checkpoint (auto)")
     return p
 
 
@@ -48,7 +55,8 @@ def main(argv=None) -> int:
     seg = make_segment_fn(opt.text_condition, opt.output_path, opt.seg_preset,
                           sam_checkpoint=opt.sam_checkpoint,
                           detector_dir=opt.detector_dir,
-                          box_threshold=opt.box_threshold)
+                          box_threshold=opt.box_threshold,
+                          detector=opt.detector)
     masks = seg(arr[None]) if opt.seg_preset == "heuristic" else seg(arr)
 
     for name, m in zip(opt.text_condition.split("+"), masks):
