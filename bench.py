@@ -16,7 +16,8 @@ rate / 1.875). Riders, in budget order:
   as seg_ms_per_concept,
 * video (BASELINE config 4; tools/bench_video.py) as video_clip_s /
   video_frames_per_s / video_vs_baseline (240 chip-s budget / measured),
-* int8 W8A8 serving mode (ops/quant.py) as single_seed_s_per_image_int8.
+* the non-headline serving mode at single-seed (bf16 when the headline is
+  the default int8-static W8A8, int8 when TWEEDIEMIX_BENCH_QUANT=bf16).
 
 A persistent XLA compilation cache (utils/compile_cache.py, repo-local
 .jax_cache/) makes repeat runs skip the minutes-long remote compiles; a
@@ -25,7 +26,8 @@ rider — a stage that doesn't fit is skipped with a recorded reason
 instead of letting the driver SIGKILL mid-stage. TWEEDIEMIX_BENCH_SEEDS
 overrides the serving batch (0 = latency-only, headline reverts to
 s/image); TWEEDIEMIX_BENCH_SEG=0 / TWEEDIEMIX_BENCH_VIDEO=0 /
-TWEEDIEMIX_BENCH_INT8=0 skip riders unconditionally.
+TWEEDIEMIX_BENCH_INT8=0 / TWEEDIEMIX_BENCH_BF16=0 skip riders
+unconditionally.
 
 Weights are random/zeros (real SDXL weights are not downloadable in this
 environment); FLOPs, memory traffic, and the trajectory structure are
@@ -227,9 +229,29 @@ def _free_device_state():
 def main():
     signal.signal(signal.SIGTERM, _emit_partial_and_exit)
     on_tpu = jax.default_backend() == "tpu"
-    # TWEEDIEMIX_BENCH_QUANT=int8 measures the opt-in W8A8 serving mode
-    # (ops/quant.py) as the headline; default off — the headline stays bf16.
-    quant = os.environ.get("TWEEDIEMIX_BENCH_QUANT") or None
+    # Headline serving mode. Default since round 5: W8A8 int8 transformer
+    # matmuls with per-site STATIC activation scales (ops/quant.py +
+    # tools/calibrate_quant.py; the repo-committed chip-calibrated table) —
+    # measured 12.64 chip-s/image at seeds=4 vs 14.20-14.46 bf16 and 15.08
+    # dynamic-int8 (docs/PERF.md round 5). Fidelity: corr > 0.99 vs fp32
+    # (tests/test_quant.py); real checkpoints re-calibrate with a warmup
+    # pass. TWEEDIEMIX_BENCH_QUANT=bf16 reverts the headline to bf16;
+    # =int8-dynamic measures int8 without the scales table.
+    quant_env = os.environ.get("TWEEDIEMIX_BENCH_QUANT", "").strip().lower()
+    if quant_env in ("", "int8", "int8_static", "int8-static"):
+        quant = "int8"
+        os.environ.setdefault(
+            "TWEEDIEMIX_QUANT_SCALES",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "quant_scales_sdxl.json"),
+        )
+    elif quant_env in ("bf16", "0", "off", "none", "no"):
+        quant = None
+    elif quant_env in ("int8-dynamic", "int8_dynamic"):
+        quant = "int8"
+        os.environ.pop("TWEEDIEMIX_QUANT_SCALES", None)
+    else:
+        quant = quant_env  # e.g. int8_conv (expert knob)
     n_seeds = int(os.environ.get("TWEEDIEMIX_BENCH_SEEDS", "4"))
     # TWEEDIEMIX_BENCH_MODE=lora measures BASELINE config 2 (stacked LoRA
     # deltas + t_stop=0.9 window) as the headline; default cd.
@@ -240,6 +262,11 @@ def main():
     result = _result
     if mode != "cd":
         result["mode"] = mode
+    if quant:
+        result["quant"] = (
+            "int8_static" if os.environ.get("TWEEDIEMIX_QUANT_SCALES")
+            else f"{quant}_dynamic"
+        )
     if "seeds_s" in m:
         dts = m["seeds_s"]
         # Headline = BASELINE.json's tracked metric: "2-concept SDXL
@@ -334,20 +361,24 @@ def main():
         result["video_frames_per_s"] = vm["frames_per_s"]
         result["video_vs_baseline"] = round(240.0 / vm["s_per_clip"], 3)
 
-    # int8 rider: the opt-in W8A8 serving mode's single-seed latency
-    # (round-3's only positive image-path perf result), so the graded
-    # artifact carries bf16 + int8 numbers side by side.
+    # cross-mode rider: whichever serving mode is NOT the headline rides
+    # along at single-seed so the graded artifact carries the bf16/int8
+    # A/B side by side (same TWEEDIEMIX_BENCH_MODE as the headline — a
+    # true A/B, not a silent lora-vs-cd mix).
     def int8_stage():
-        # same mode as the headline so the bf16/int8 numbers are a true
-        # A/B (under TWEEDIEMIX_BENCH_MODE=lora both measure the LoRA
-        # config, not a silent lora-vs-cd mix)
         mq = measure_image(on_tpu, "int8", n_seeds=0, mode=mode)
         result["single_seed_s_per_image_int8"] = round(mq["single_s"], 3)
 
+    def bf16_stage():
+        mq = measure_image(on_tpu, None, n_seeds=0, mode=mode)
+        result["single_seed_s_per_image_bf16"] = round(mq["single_s"], 3)
+
     stage("seg", "TWEEDIEMIX_BENCH_SEG", 240.0, seg_stage)
     stage("video", "TWEEDIEMIX_BENCH_VIDEO", 420.0, video_stage)
-    if quant is None:  # headline already int8 -> rider is redundant
+    if quant is None:
         stage("int8", "TWEEDIEMIX_BENCH_INT8", 300.0, int8_stage)
+    else:
+        stage("bf16", "TWEEDIEMIX_BENCH_BF16", 300.0, bf16_stage)
 
     result["bench_wall_s"] = round(time.perf_counter() - _T0, 1)
     print(json.dumps(result))

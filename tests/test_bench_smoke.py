@@ -91,6 +91,7 @@ def test_bench_budget_skips_riders_with_reason():
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
     rec = json.loads(line)
     assert rec["value"] > 0 and "partial" not in rec
-    for rider in ("seg", "video", "int8"):
+    # default headline is int8-static, so the cross-mode rider is bf16
+    for rider in ("seg", "video", "bf16"):
         assert "budget" in rec[f"{rider}_skipped"], rec
         assert f"{rider}_error" not in rec
