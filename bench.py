@@ -85,7 +85,13 @@ def _remaining() -> float:
 
 def zeros_params(model, *example_args, dtype=None):
     shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), *example_args)["params"]
-    return jax.tree.map(lambda s: jnp.zeros(s.shape, dtype or s.dtype), shapes)
+    # one jitted pytree build: leaf-by-leaf jnp.zeros costs a remote-compile
+    # round trip PER LEAF on the tunneled backend (~50 ms cache-hit / ~450 ms
+    # miss x ~700 leaves — measured round 5, the dominant bench setup cost)
+    mk = jax.jit(
+        lambda: jax.tree.map(lambda s: jnp.zeros(s.shape, dtype or s.dtype), shapes)
+    )
+    return mk()
 
 
 def sync(x):
@@ -99,13 +105,24 @@ def sync(x):
 def measure_image(on_tpu: bool, quant, n_seeds: int, mode: str = "cd") -> dict:
     """Build the fusion pipeline (random weights) and time the full
     trajectory + decode; returns {"single_s": ..., ["seeds_s": ...]}.
-    All device state is local so it frees on return.
+    All device state is local so it frees on return. ``phases`` in the
+    returned dict breaks the stage wall into setup / compile+warm / timed
+    seconds so budget regressions are diagnosable from the artifact alone.
 
     ``mode='lora'`` measures BASELINE config 2 (fusion_sampling_lora.py +
     sample_panda.sh:43-46): stacked rank-4 LoRA q/k/v/out deltas on every
     attention instead of the CD stacked-K/V slots, and the reference's
     default t_stop=0.9 fusion window (joint-CFG tail for the last 10% of
     steps, fusion_sampling_lora.py:547,324)."""
+    t_stage = time.perf_counter()
+    phases = {}
+
+    def mark(name):
+        nonlocal t_stage
+        now = time.perf_counter()
+        phases[name] = round(now - t_stage, 1)
+        t_stage = now
+
     n_concepts = 3  # cat + dog + background (sample_catdog.sh:19)
     slots = dict(lora_slots=n_concepts + 1) if mode == "lora" else dict(
         concept_slots=n_concepts + 1)
@@ -212,11 +229,17 @@ def measure_image(on_tpu: bool, quant, n_seeds: int, mode: str = "cd") -> dict:
             best = min(best, time.perf_counter() - t0)
         return best
 
+    mark("setup")
     sync(run_batch(0, 1))  # compile + warm
+    mark("compile_single")
     out = {"single_s": timed(1)}
+    mark("timed_single")
     if n_seeds > 1:
         sync(run_batch(0, n_seeds))  # compile + warm
+        mark("compile_seeds")
         out["seeds_s"] = timed(n_seeds)
+        mark("timed_seeds")
+    out["phases"] = phases
     return out
 
 
@@ -257,9 +280,11 @@ def main():
     # deltas + t_stop=0.9 window) as the headline; default cd.
     mode = os.environ.get("TWEEDIEMIX_BENCH_MODE", "cd")
 
+    _result["import_s"] = round(time.perf_counter() - _T0, 1)
     m = measure_image(on_tpu, quant, n_seeds, mode=mode)
     dt = m["single_s"]
     result = _result
+    result["image_phase_s"] = m.get("phases", {})
     if mode != "cd":
         result["mode"] = mode
     if quant:
@@ -330,6 +355,7 @@ def main():
                 f"budget: {left:.0f}s left < {min_s:.0f}s stage minimum")
             return
         _free_device_state()
+        t0 = time.perf_counter()
         try:
             fn()
         except Exception as e:  # never lose earlier metrics over a rider
@@ -337,6 +363,8 @@ def main():
 
             traceback.print_exc(file=sys.stderr)
             result[f"{name}_error"] = f"{type(e).__name__}: {e}"
+        finally:
+            result[f"{name}_stage_s"] = round(time.perf_counter() - t0, 1)
 
     # segmentation rider (BASELINE config 3 runs segmentation in the loop;
     # the headline uses the precomputed-mask path, so the seg cost rides
@@ -368,10 +396,12 @@ def main():
     def int8_stage():
         mq = measure_image(on_tpu, "int8", n_seeds=0, mode=mode)
         result["single_seed_s_per_image_int8"] = round(mq["single_s"], 3)
+        result["int8_phase_s"] = mq.get("phases", {})
 
     def bf16_stage():
         mq = measure_image(on_tpu, None, n_seeds=0, mode=mode)
         result["single_seed_s_per_image_bf16"] = round(mq["single_s"], 3)
+        result["bf16_phase_s"] = mq.get("phases", {})
 
     stage("seg", "TWEEDIEMIX_BENCH_SEG", 240.0, seg_stage)
     stage("video", "TWEEDIEMIX_BENCH_VIDEO", 420.0, video_stage)

@@ -54,7 +54,10 @@ def measure() -> dict:
     def zeros_params(model, *a):
         shapes = jax.eval_shape(model.init, key, *a)["params"]
         dt = jnp.bfloat16 if on_tpu else None
-        return jax.tree.map(lambda s: jnp.zeros(s.shape, dt or s.dtype), shapes)
+        # single jitted pytree build — per-leaf jnp.zeros costs one remote
+        # compile round trip per leaf on the tunneled backend (bench.py r5)
+        return jax.jit(lambda: jax.tree.map(
+            lambda s: jnp.zeros(s.shape, dt or s.dtype), shapes))()
 
     uparams = zeros_params(
         unet, jnp.zeros((2, f, h, w, 4)), jnp.int32(1),
@@ -63,11 +66,10 @@ def measure() -> dict:
         jnp.zeros((2, 1, ucfg.cross_attention_dim)),
         jnp.float32(8.0),
     )
-    vparams = jax.tree.map(
-        lambda s: jnp.zeros(s.shape, s.dtype),
-        jax.eval_shape(vae.init, key, jnp.zeros((1, 32, 32, 3)),
-                       jax.random.PRNGKey(1))["params"],
-    )
+    _vshapes = jax.eval_shape(vae.init, key, jnp.zeros((1, 32, 32, 3)),
+                              jax.random.PRNGKey(1))["params"]
+    vparams = jax.jit(lambda: jax.tree.map(
+        lambda s: jnp.zeros(s.shape, s.dtype), _vshapes))()
 
     pipe = I2VPipeline(vid, unet, uparams, vae, vparams)
     # TWEEDIEMIX_BENCH_CLIPS=N batches N independent clips through every
