@@ -17,7 +17,11 @@ rate / 1.875). Riders, in budget order:
 * video (BASELINE config 4; tools/bench_video.py) as video_clip_s /
   video_frames_per_s / video_vs_baseline (240 chip-s budget / measured),
 * the non-headline serving mode at single-seed (bf16 when the headline is
-  the default int8-static W8A8, int8 when TWEEDIEMIX_BENCH_QUANT=bf16).
+  the default int8-static W8A8, int8 when TWEEDIEMIX_BENCH_QUANT=bf16) —
+  OPT-IN via TWEEDIEMIX_BENCH_BF16/INT8=1 since round 5: even cache-warm,
+  a second trajectory's executables cost ~250-300 s to load through the
+  tunneled backend, which pushed the all-stage wall past the 1500 s
+  driver budget; the A/B matrix lives in docs/PERF.md.
 
 A persistent XLA compilation cache (utils/compile_cache.py, repo-local
 .jax_cache/) makes repeat runs skip the minutes-long remote compiles; a
@@ -338,16 +342,19 @@ def main():
 
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
 
-    def stage(name: str, env: str, min_s: float, fn):
+    def stage(name: str, env: str, min_s: float, fn, default: str = "1"):
         """Run one rider inside the wall-clock budget; skips (with a
         recorded reason) rather than letting the driver kill us mid-stage."""
         # tolerant flag parse: ''/'0'/'off'/'false'/'no' disable, anything
         # else enables — a ValueError here after the headline would lose
         # the whole artifact, the exact failure the budget machinery exists
         # to prevent
-        if os.environ.get(env, "1").strip().lower() in (
+        if os.environ.get(env, default).strip().lower() in (
                 "", "0", "off", "false", "no", "none"):
-            result[f"{name}_skipped"] = "disabled via env"
+            result[f"{name}_skipped"] = (
+                "disabled via env" if env in os.environ
+                else "off by default (A/B recorded in docs/PERF.md round 5; "
+                     f"set {env}=1 to re-measure)")
             return
         left = _remaining()
         if left < min_s:
@@ -405,10 +412,19 @@ def main():
 
     stage("seg", "TWEEDIEMIX_BENCH_SEG", 240.0, seg_stage)
     stage("video", "TWEEDIEMIX_BENCH_VIDEO", 420.0, video_stage)
+    # The cross-mode A/B rider is opt-in since round 5: even with a warm
+    # persistent cache, loading a second full trajectory's executables
+    # through the tunneled backend costs ~250-300 s, which pushed the
+    # all-stage wall past the 1500 s driver budget (the BENCH_r03 rc=124
+    # failure mode). The bf16-vs-int8 A/B is measured and recorded in
+    # docs/PERF.md round 5; set TWEEDIEMIX_BENCH_INT8/BF16=1 to re-measure
+    # it in-artifact.
     if quant is None:
-        stage("int8", "TWEEDIEMIX_BENCH_INT8", 300.0, int8_stage)
+        stage("int8", "TWEEDIEMIX_BENCH_INT8", 300.0, int8_stage,
+              default="0")
     else:
-        stage("bf16", "TWEEDIEMIX_BENCH_BF16", 300.0, bf16_stage)
+        stage("bf16", "TWEEDIEMIX_BENCH_BF16", 300.0, bf16_stage,
+              default="0")
 
     result["bench_wall_s"] = round(time.perf_counter() - _T0, 1)
     print(json.dumps(result))
