@@ -91,7 +91,11 @@ def test_bench_budget_skips_riders_with_reason():
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
     rec = json.loads(line)
     assert rec["value"] > 0 and "partial" not in rec
-    # default headline is int8-static, so the cross-mode rider is bf16
-    for rider in ("seg", "video", "bf16"):
+    # default headline is int8-static, so the cross-mode rider is bf16;
+    # since round 5 it is off by default (PERF carries the A/B) while
+    # seg/video skip on the exhausted budget
+    for rider in ("seg", "video"):
         assert "budget" in rec[f"{rider}_skipped"], rec
         assert f"{rider}_error" not in rec
+    assert "off by default" in rec["bf16_skipped"], rec
+    assert "bf16_error" not in rec
