@@ -83,7 +83,7 @@ def test_flash_custom_vjp_grads_match_xla():
     # the custom_vjp backward is exactly the XLA vjp; verify the rule wiring
     gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
     _, vjp_fn = jax.vjp(lambda a, b, c: attn_mod._xla_attention(a, b, c, scale), q, k, v)
-    gf = attn_mod._flash_bwd(scale, 128, 128, 1, (q, k, v), g)
+    gf = attn_mod._flash_bwd(scale, 128, 128, 1, False, (q, k, v), g)
     for a, b in zip(gx, gf):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
     # and the forward value itself matches
@@ -307,3 +307,31 @@ def test_bf16_scores_gate_parity(monkeypatch):
     monkeypatch.setenv("TWEEDIEMIX_BF16_SCORES_MAX_SK", "0")
     ref = A._xla_attention(qf, kf, vf, 64**-0.5)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_flash_int8_qkpv_matches_fp_kernel():
+    """W8A8 attention core (flash_attention int8_qkpv=True,
+    TWEEDIEMIX_FLASH_INT8 serving knob): dynamic per-tensor int8 q/k/v with
+    int32-accumulated MXU matmuls must track the fp kernel to quantization
+    tolerance. Measured NEGATIVE on v5e at dh=64 (docs/PERF.md round 5 —
+    the kernel is VPU-bound, not MXU-bound, at SDXL head dims), kept
+    opt-in; this guards the numerics either way. Covers the ones-column
+    denominator (dh=64), the VPU-row-sum path (dh=128), and a padded
+    kv-masked shape."""
+    from tweediemix_tpu.ops.flash_attention import flash_attention
+
+    rng = np.random.default_rng(11)
+    for bh, sq, sk, dh in [(4, 256, 256, 64), (2, 300, 300, 64), (2, 128, 128, 128)]:
+        q = jnp.asarray(rng.standard_normal((bh, sq, dh)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((bh, sk, dh)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((bh, sk, dh)), jnp.float32)
+        ref = flash_attention(q, k, v, block_q=128, block_k=128, interpret=True)
+        out = flash_attention(
+            q, k, v, block_q=128, block_k=128, interpret=True, int8_qkpv=True
+        )
+        r = np.asarray(ref, np.float64).ravel()
+        o = np.asarray(out, np.float64).ravel()
+        corr = np.corrcoef(r, o)[0, 1]
+        assert corr > 0.999, (bh, sq, sk, dh, corr)
+        rel = np.abs(o - r).max() / (np.abs(r).max() + 1e-9)
+        assert rel < 0.12, (bh, sq, sk, dh, rel)

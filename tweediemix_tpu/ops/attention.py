@@ -111,20 +111,26 @@ def _xla_attention_chunked(q, k, v, scale, chunk: int):
     return out[:, :sq]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _flash(q, k, v, scale, block_q, block_k, head_block):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _flash(q, k, v, scale, block_q, block_k, head_block, int8_qkpv=False):
     """Pallas flash forward with an XLA-attention backward, so training can
-    differentiate through the kernel (the Pallas call has no JVP rule)."""
+    differentiate through the kernel (the Pallas call has no JVP rule).
+    The int8 forward keeps the fp backward (straight-through estimate —
+    the knob is serving-only anyway)."""
     return flash_attention(
-        q, k, v, scale=scale, block_q=block_q, block_k=block_k, head_block=head_block
+        q, k, v, scale=scale, block_q=block_q, block_k=block_k,
+        head_block=head_block, int8_qkpv=int8_qkpv,
     )
 
 
-def _flash_fwd(q, k, v, scale, block_q, block_k, head_block):
-    return _flash(q, k, v, scale, block_q, block_k, head_block), (q, k, v)
+def _flash_fwd(q, k, v, scale, block_q, block_k, head_block, int8_qkpv=False):
+    return (
+        _flash(q, k, v, scale, block_q, block_k, head_block, int8_qkpv),
+        (q, k, v),
+    )
 
 
-def _flash_bwd(scale, block_q, block_k, head_block, res, g):
+def _flash_bwd(scale, block_q, block_k, head_block, int8_qkpv, res, g):
     """Memory-bounded backward: the XLA attention vjp materializes the full
     [BH, S, S] fp32 score/prob matrices; at SDXL-training shapes (S=4096)
     that is GiBs. Chunk sequentially over the BH axis so the peak is one
@@ -167,12 +173,19 @@ def attention(
             block_q, block_k, g = 256, 1024, 4
         if q.shape[0] % g:
             g = 2 if q.shape[0] % 2 == 0 else 1
+        # opt-in W8A8 attention core: dynamic per-tensor int8 q/k/v with
+        # both matmuls on the MXU int8 path (flash_attention int8_qkpv).
+        # Serving-only; see docs/PERF.md round 5 for the measurement.
+        use_int8 = (
+            os.environ.get("TWEEDIEMIX_FLASH_INT8", "0") == "1"
+            and jax.default_backend() == "tpu"
+        )
         if interpret:
             return flash_attention(
                 q, k, v, scale=scale, block_q=block_q, block_k=block_k,
                 head_block=g, interpret=True,
             )
-        return _flash(q, k, v, scale, block_q, block_k, g)
+        return _flash(q, k, v, scale, block_q, block_k, g, use_int8)
     score_bytes = 4 * q.shape[0] * q.shape[1] * k.shape[1]
     if score_bytes > _XLA_SCORE_BYTES_CAP:
         # no floor: for extreme BH*Sk a single query row is the smallest

@@ -110,12 +110,108 @@ def _flash_kernel(
         o_ref[:] = (acc_scr[:, :, :dh] / denom).astype(o_ref.dtype)
 
 
+def _flash_kernel_int8(
+    kv_len_ref,  # SMEM (1,1) int32: true kv length (<= padded Sk)
+    scales_ref,  # SMEM (1,2) fp32: [score_scale, out_scale]
+    q_ref,  # VMEM [G, block_q, dh] int8 (pre-scaled + quantized on host)
+    k_ref,  # VMEM [G, block_k, dh] int8
+    v_ref,  # VMEM [G, block_k, dh_acc] int8 — 127-column at dh when
+    #       use_ones_col (dequantizes against out_scale consistently)
+    o_ref,  # VMEM [G, block_q, dh] bf16/fp32 (q's original dtype)
+    m_scr,  # VMEM [G, block_q, 128] fp32 (col 0 max, col 1 denom)
+    acc_scr,  # VMEM [G, block_q, dh_acc] fp32
+    *,
+    block_k: int,
+    dh: int,
+    needs_mask: bool,
+    use_ones_col: bool,
+):
+    """W8A8 variant of ``_flash_kernel``: q@kᵀ and p@v run on the MXU's
+    int8 path (2× the bf16 rate; dh=64 halves both equally). Scores
+    dequantize to fp32 before the online softmax (one extra VPU pass per
+    tile); softmax probabilities requantize to int8 against a FIXED 1/127
+    scale — exact for p ∈ (0, 1], and the denominator (the ones-column of
+    v, stored as 127) is quantized identically, so the truncation of
+    sub-1/254 attention weights cancels between numerator and denominator
+    to first order. Scale bookkeeping:
+
+      p8 ≈ 127·p,  v8 ≈ v/sv,  ones-col = 127
+      num_i32 = Σ p8·v8 ≈ (127/sv)·Σ p·v
+      den_i32 = Σ p8·127 ≈ 127²·Σ p
+      out = num/den · out_scale  with  out_scale = 127·sv.
+    """
+    kv_idx = pl.program_id(2)
+    num_kv = pl.num_programs(2)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        m_scr[:, :, 1:2] = jnp.zeros_like(m_scr[:, :, 1:2])
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    s32 = jax.lax.dot_general(
+        q_ref[:],
+        k_ref[:],
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32,
+    )  # [G, block_q, block_k] int32
+    # dequantize into the log2 domain the fp kernel uses (score_scale
+    # carries softmax-scale·log2(e)·sq·sk); fp32 is exact for int32
+    # products up to 2^24, far above the 127·127·dh ≈ 2^20 worst case
+    s = s32.astype(jnp.float32) * scales_ref[0, 0]
+
+    if needs_mask:
+        kv_len = kv_len_ref[0, 0]
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2) + kv_idx * block_k
+        s = jnp.where(col < kv_len, s, NEG_INF)
+
+    m_prev = m_scr[:, :, :1]
+    m_cur = jnp.max(s, axis=2, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp2(s - m_new)
+    corr = jnp.exp2(m_prev - m_new)
+    m_scr[:, :, :1] = m_new
+
+    p8 = jnp.round(p * 127.0).astype(jnp.int8)
+
+    if not use_ones_col:
+        # denominator from the fp probabilities (numerator uses p8; the
+        # ≤1/254 mismatch is within the int8 path's error budget). Only
+        # reached at dh % 128 == 0 head dims.
+        m_scr[:, :, 1:2] = m_scr[:, :, 1:2] * corr + jnp.sum(p, axis=2, keepdims=True)
+
+    pv = jax.lax.dot_general(
+        p8,
+        v_ref[:],
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32,
+    )
+    acc_scr[:] = acc_scr[:] * corr + pv.astype(jnp.float32)
+
+    @pl.when(kv_idx == num_kv - 1)
+    def _finish():
+        out_scale = scales_ref[0, 1]
+        if use_ones_col:
+            denom = jnp.maximum(acc_scr[:, :, dh : dh + 1], 1.0)
+            o_ref[:] = (
+                acc_scr[:, :, :dh] / denom * out_scale
+            ).astype(o_ref.dtype)
+        else:
+            denom = jnp.maximum(m_scr[:, :, 1:2], 1e-30)
+            # numerator ≈ (127/sv)·Σpv, denom = Σp → scale by sv/127
+            o_ref[:] = (
+                acc_scr[:, :, :dh] / denom * (out_scale / (127.0 * 127.0))
+            ).astype(o_ref.dtype)
+
+
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "block_q", "block_k", "head_block", "interpret")
+    jax.jit,
+    static_argnames=("scale", "block_q", "block_k", "head_block", "interpret",
+                     "int8_qkpv"),
 )
 def flash_attention(
     q: jnp.ndarray,
@@ -126,6 +222,7 @@ def flash_attention(
     block_k: int = 512,
     head_block: int = 1,
     interpret: bool = False,
+    int8_qkpv: bool = False,
 ) -> jnp.ndarray:
     """Non-causal flash attention.
 
@@ -137,6 +234,10 @@ def flash_attention(
       head_block: heads processed per grid step (must divide BH; the
         caller's dispatch falls back to 1 when it doesn't).
       interpret: run the kernel in interpreter mode (CPU testing).
+      int8_qkpv: quantize q/k/v to int8 with dynamic per-tensor scales and
+        run both matmuls on the MXU int8 path (``_flash_kernel_int8``);
+        the abs-max reductions are linear-cost against the kernel's S²
+        work. Serving-only knob (``TWEEDIEMIX_FLASH_INT8=1``).
 
     Returns [BH, Sq, dh] with q's dtype.
     """
@@ -194,10 +295,31 @@ def flash_attention(
     # instead. Padding kv rows keep a zero ones-column — their p is
     # already 0 via the NEG_INF mask.
     use_ones_col = _round_up(dh + 1, 128) == _round_up(dh, 128)
+    out_dtype = q.dtype
+
+    if int8_qkpv:
+        # dynamic per-tensor symmetric quantization (abs-max over the whole
+        # tensor — one linear pass vs the kernel's S² work). q already
+        # carries the softmax scale in the log2 domain, so score_scale =
+        # sq·sk recovers log2-domain scores in the kernel.
+        def _q8(x):
+            s = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32))), 1e-12) / 127.0
+            x8 = jnp.clip(
+                jnp.round(x.astype(jnp.float32) / s), -127.0, 127.0
+            ).astype(jnp.int8)
+            return x8, s
+
+        q, q_s = _q8(q)
+        k, k_s = _q8(k)
+        v, v_s = _q8(v)
+        scales = jnp.stack([q_s * k_s, 127.0 * v_s]).reshape(1, 2).astype(jnp.float32)
+
     if use_ones_col:
         dh_acc = _round_up(dh + 1, 128)
         ones_col = jnp.zeros((bh, sk_p, dh_acc - dh), v.dtype)
-        ones_col = ones_col.at[:, :sk, 0].set(1.0)
+        # int8 path: the denominator column holds 127 so it dequantizes
+        # through the same 1/127 probability scale as the numerator
+        ones_col = ones_col.at[:, :sk, 0].set(127 if int8_qkpv else 1.0)
         v = jnp.concatenate([v, ones_col], axis=-1)
     else:
         dh_acc = dh
@@ -205,15 +327,17 @@ def flash_attention(
     kv_len = jnp.array([[sk]], dtype=jnp.int32)
 
     grid = (bh // g, sq_p // block_q, sk_p // block_k)
+    kern_fn = _flash_kernel_int8 if int8_qkpv else _flash_kernel
     kernel = functools.partial(
-        _flash_kernel, block_k=block_k, dh=dh, needs_mask=needs_mask,
+        kern_fn, block_k=block_k, dh=dh, needs_mask=needs_mask,
         use_ones_col=use_ones_col,
     )
+    scalar_args = (kv_len, scales) if int8_qkpv else (kv_len,)
 
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=len(scalar_args),
             grid=grid,
             in_specs=[
                 pl.BlockSpec((g, block_q, dh), lambda b, i, j, *_: (b, i, 0)),
@@ -226,7 +350,7 @@ def flash_attention(
                 pltpu.VMEM((g, block_q, dh_acc), jnp.float32),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((bh, sq_p, dh), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((bh, sq_p, dh), out_dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
@@ -236,7 +360,7 @@ def flash_attention(
             bytes_accessed=(bh * (sq_p + 2 * sk_p + sq_p) * dh) * q.dtype.itemsize,
             transcendentals=bh * sq_p * sk_p,
         ),
-    )(kv_len, q, k, v)
+    )(*scalar_args, q, k, v)
 
     if sq_p != sq:
         out = out[:, :sq]
