@@ -321,7 +321,10 @@ def test_flash_int8_qkpv_matches_fp_kernel():
     from tweediemix_tpu.ops.flash_attention import flash_attention
 
     rng = np.random.default_rng(11)
-    for bh, sq, sk, dh in [(4, 256, 256, 64), (2, 300, 300, 64), (2, 128, 128, 128)]:
+    # (2, 300, 300, 128) covers the VPU-row-sum denominator path
+    # (dh % 128 == 0) COMBINED with kv padding/masking
+    for bh, sq, sk, dh in [(4, 256, 256, 64), (2, 300, 300, 64),
+                           (2, 128, 128, 128), (2, 300, 300, 128)]:
         q = jnp.asarray(rng.standard_normal((bh, sq, dh)), jnp.float32)
         k = jnp.asarray(rng.standard_normal((bh, sk, dh)), jnp.float32)
         v = jnp.asarray(rng.standard_normal((bh, sk, dh)), jnp.float32)

@@ -176,16 +176,16 @@ def attention(
         # opt-in W8A8 attention core: dynamic per-tensor int8 q/k/v with
         # both matmuls on the MXU int8 path (flash_attention int8_qkpv).
         # Serving-only; see docs/PERF.md round 5 for the measurement.
-        use_int8 = (
-            os.environ.get("TWEEDIEMIX_FLASH_INT8", "0") == "1"
-            and jax.default_backend() == "tpu"
-        )
+        # Interpret mode honors the knob on any backend (CPU debugging of
+        # the int8 numerics); the compiled path is TPU-gated.
+        use_int8 = os.environ.get("TWEEDIEMIX_FLASH_INT8", "0") == "1"
         if interpret:
             return flash_attention(
                 q, k, v, scale=scale, block_q=block_q, block_k=block_k,
-                head_block=g, interpret=True,
+                head_block=g, interpret=True, int8_qkpv=use_int8,
             )
-        return _flash(q, k, v, scale, block_q, block_k, g, use_int8)
+        return _flash(q, k, v, scale, block_q, block_k, g,
+                      use_int8 and jax.default_backend() == "tpu")
     score_bytes = 4 * q.shape[0] * q.shape[1] * k.shape[1]
     if score_bytes > _XLA_SCORE_BYTES_CAP:
         # no floor: for extreme BH*Sk a single query row is the smallest

@@ -357,7 +357,11 @@ def flash_attention(
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=4 * bh * sq_p * sk_p * dh,
-            bytes_accessed=(bh * (sq_p + 2 * sk_p + sq_p) * dh) * q.dtype.itemsize,
+            # original (pre-quantization) itemsize: the int8 path replaces
+            # q with its int8 form, but the estimate should stay the fp
+            # kernel's so Mosaic sees a consistent arithmetic intensity
+            bytes_accessed=(bh * (sq_p + 2 * sk_p + sq_p) * dh)
+            * jnp.dtype(out_dtype).itemsize,
             transcendentals=bh * sq_p * sk_p,
         ),
     )(*scalar_args, q, k, v)
