@@ -61,7 +61,10 @@ def main():
         jnp.zeros((1, 6)), jnp.zeros((1,), jnp.int32),
     )["params"]
     dt = jnp.bfloat16 if on_tpu else jnp.float32
-    params = jax.tree.map(lambda s: jnp.zeros(s.shape, dt if s.dtype == jnp.float32 else s.dtype), shapes)
+    # single jitted pytree build (docs/PERF.md round 5 bench-wall anatomy)
+    params = jax.jit(lambda: jax.tree.map(
+        lambda s: jnp.zeros(s.shape, dt if s.dtype == jnp.float32 else s.dtype),
+        shapes))()
 
     results = {}
     for r in args.rows:

@@ -75,7 +75,11 @@ def main():
     def zeros_params(model, *a):
         shapes = jax.eval_shape(model.init, key, *a)["params"]
         dt = jnp.bfloat16 if on_tpu else None
-        return jax.tree.map(lambda s: jnp.zeros(s.shape, dt or s.dtype), shapes)
+        # single jitted pytree build — per-leaf jnp.zeros costs one remote
+        # compile round trip per leaf on the tunneled backend (docs/PERF.md
+        # round 5 bench-wall anatomy)
+        return jax.jit(lambda: jax.tree.map(
+            lambda s: jnp.zeros(s.shape, dt or s.dtype), shapes))()
 
     uparams = zeros_params(
         unet, jnp.zeros((2, f, h, w, 4)), jnp.int32(1),
@@ -84,11 +88,10 @@ def main():
         jnp.zeros((2, 1, ucfg.cross_attention_dim)),
         jnp.float32(8.0),
     )
-    vparams = jax.tree.map(
-        lambda s: jnp.zeros(s.shape, s.dtype),
-        jax.eval_shape(vae.init, key, jnp.zeros((1, 32, 32, 3)),
-                       jax.random.PRNGKey(1))["params"],
-    )
+    _vshapes = jax.eval_shape(vae.init, key, jnp.zeros((1, 32, 32, 3)),
+                              jax.random.PRNGKey(1))["params"]
+    vparams = jax.jit(lambda: jax.tree.map(
+        lambda s: jnp.zeros(s.shape, s.dtype), _vshapes))()
 
     pipe = I2VPipeline(vid, unet, uparams, vae, vparams)
     ctx = 0.1 * jax.random.normal(key, (2, ctx_len, ucfg.cross_attention_dim))
